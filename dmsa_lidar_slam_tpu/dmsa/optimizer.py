@@ -1,0 +1,231 @@
+"""The generic DMSA Gauss-Newton optimizer.
+
+TPU-native re-design of DmsaOptimizer::optimizeSet (reference:
+include/DMSA/DmsaOptimizer.h:54-150).  Same outer-loop semantics — per
+iteration: rebuild Gaussian cells at two grid resolutions from the current
+global points, freeze cell membership + information matrices, evaluate the
+residual vector, take a damped Gauss-Newton step, clip it, then a
+9-candidate line search — but:
+
+  - the numeric forward-difference Jacobian (DmsaOptimizer.h:199-232, one
+    full deskew+error pass per parameter) becomes jacfwd over the residual
+    function (vectorized JVPs, chunked to bound memory),
+  - the 9 line-search evaluations (DmsaOptimizer.h:152-182) are one vmap,
+  - the whole optimization is a single jit-compiled lax.fori_loop; stop
+    criteria set a `done` flag that freezes the carried state (shapes never
+    change, so the jit cache holds across scans).
+
+A "problem" is one pure function over a data pytree (see dmsa.problems),
+mirroring the reference's OptimizablePointSet virtual interface
+(OptimizablePointSet.h:18-56) without virtual dispatch:
+
+    forward_fn(params, data) -> ForwardOut(points, mask, ring_ids,
+                                           obs_weight, extra)
+
+where `points` are the problem's current global points (updateGlobalPoints)
+and `extra` the additional residual vector (updateAdditionalErrors — IMU /
+gravity / odometry terms; may have length 0).
+"""
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dmsa_lidar_slam_tpu.ops import gaussians
+
+# stop reason codes (diagnostics)
+STOP_NONE = 0
+STOP_TOO_FEW_GAUSSIANS = 1  # DmsaOptimizer.h:89-93
+STOP_NAN = 2  # DmsaOptimizer.h:116-122
+STOP_NO_IMPROVEMENT = 3  # DmsaOptimizer.h:130-134
+STOP_EPSILON = 4  # DmsaOptimizer.h:138-143
+
+
+class ForwardOut(NamedTuple):
+    points: jnp.ndarray  # [N, 3] current global points
+    mask: jnp.ndarray  # [N] bool validity
+    ring_ids: jnp.ndarray  # [N] int32 ids for the ring-diversity test
+    obs_weight: Optional[jnp.ndarray]  # [N] or None (getWeightOfPointSet)
+    extra: jnp.ndarray  # [M] additional residuals (M may be 0)
+    split_ids: Optional[jnp.ndarray] = None  # [N] int32 cell-split channel
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimSettings:
+    """Mirror of DmsaOptimSettings (DmsaOptimizer.h:25-39). Static under jit."""
+
+    num_iter: int = 15
+    epsilon: float = 1e-5
+    step_length_optim: float = 0.05
+    max_step: float = 0.01
+    grid_size_1_factor: float = 2.0
+    grid_size_2_factor: float = 5.0
+    min_num_points_per_set: int = 6
+    min_num_gaussians: int = 30
+    lambda_diag: float = 1e-5
+    use_centralization: bool = True
+    jacobian_chunk: int = 128  # params per jacfwd block (memory bound)
+
+
+class OptimResult(NamedTuple):
+    params: jnp.ndarray
+    num_iters: jnp.ndarray  # [] iterations actually run
+    stop_reason: jnp.ndarray  # [] code
+    final_error: jnp.ndarray  # [] sum of squared residuals
+    initial_error: jnp.ndarray
+    num_gaussians: jnp.ndarray  # [] valid cells at last build
+
+
+def chunked_jacfwd(fn: Callable, params: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """J[i, j] = d fn(params)_i / d params_j, computed `chunk` tangents at a
+    time to bound forward-mode memory."""
+    p = params.shape[0]
+    eye = jnp.eye(p, dtype=params.dtype)
+
+    def jvp_one(tangent):
+        return jax.jvp(fn, (params,), (tangent,))[1]
+
+    cols = []
+    for start in range(0, p, chunk):
+        block = eye[start : start + chunk]
+        cols.append(jax.vmap(jvp_one)(block))  # [chunk, R]
+    return jnp.concatenate(cols, axis=0).T  # [R, P]
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def optimize(
+    forward_fn: Callable[[jnp.ndarray, Any], ForwardOut],
+    params0: jnp.ndarray,
+    data: Any,
+    settings: OptimSettings,
+    min_grid_size=0.3,
+) -> OptimResult:
+    """Run the DMSA optimization (jit; forward_fn and settings are static).
+
+    Centralization (ContinuousTrajectory.h:75-100) is handled by the caller
+    around this function — it rewrites the data pytree, not the params.
+    """
+    num_params = params0.shape[0]
+
+    def residuals(params, cells_list, data):
+        out = forward_fn(params, data)
+        parts = [gaussians.cell_residuals(out.points, out.mask, c) for c in cells_list]
+        parts.append(out.extra)
+        return jnp.concatenate(parts)
+
+    def build_all_cells(params, data):
+        out = forward_fn(params, data)
+        cells = []
+        for factor in (settings.grid_size_1_factor, settings.grid_size_2_factor):
+            if factor > 1e-30:
+                cells.append(
+                    gaussians.build_cells(
+                        out.points,
+                        out.mask,
+                        out.ring_ids,
+                        factor * min_grid_size,
+                        settings.min_num_points_per_set,
+                        obs_weight=out.obs_weight,
+                        split_ids=out.split_ids,
+                    )
+                )
+        return tuple(cells)
+
+    def iteration(params):
+        cells = build_all_cells(params, data)
+        n_gauss = sum((c.num_valid for c in cells), jnp.array(0))
+
+        res_fn = lambda p: residuals(p, cells, data)
+        e0 = res_fn(params)
+        error0 = jnp.dot(e0, e0)
+
+        J = chunked_jacfwd(res_fn, params, settings.jacobian_chunk)
+        H = J.T @ J
+        H = H + settings.lambda_diag * jnp.eye(num_params, dtype=H.dtype)
+        g = J.T @ e0
+        step = -settings.step_length_optim * jnp.linalg.solve(H, g)
+
+        nan_step = jnp.any(jnp.isnan(step))
+        step = jnp.where(nan_step, jnp.zeros_like(step), step)
+
+        # infinity-norm clip (DmsaOptimizer.h:125-128)
+        max_elem = jnp.max(jnp.abs(step))
+        step = jnp.where(
+            max_elem > settings.max_step,
+            (settings.max_step / jnp.maximum(max_elem, 1e-30)) * step,
+            step,
+        )
+
+        # 9-candidate line search, one vmap (DmsaOptimizer.h:152-182)
+        ks = jnp.arange(1, 10, dtype=params.dtype)
+        cand_params = params[None, :] + 0.1 * ks[:, None] * step[None, :]
+        cand_err = jax.vmap(lambda p: (lambda e: jnp.dot(e, e))(res_fn(p)))(cand_params)
+        all_err = jnp.concatenate([error0[None], cand_err])
+        best = jnp.argmin(all_err)
+        new_params = jnp.where(best > 0, cand_params[jnp.maximum(best - 1, 0)], params)
+        new_error = all_err[best]
+
+        too_few = n_gauss < settings.min_num_gaussians
+        no_improve = best == 0
+        eps_stop = jnp.linalg.norm(step) < settings.epsilon
+
+        stop_reason = jnp.where(
+            too_few,
+            STOP_TOO_FEW_GAUSSIANS,
+            jnp.where(
+                nan_step,
+                STOP_NAN,
+                jnp.where(
+                    no_improve,
+                    STOP_NO_IMPROVEMENT,
+                    jnp.where(eps_stop, STOP_EPSILON, STOP_NONE),
+                ),
+            ),
+        )
+        # aborts keep the pre-step params (DmsaOptimizer.h:118,136)
+        accept = ~(too_few | nan_step | no_improve)
+        params_out = jnp.where(accept, new_params, params)
+        done = too_few | nan_step | no_improve | eps_stop
+        return (
+            params_out,
+            done,
+            stop_reason.astype(jnp.int32),
+            new_error,
+            n_gauss.astype(jnp.int32),
+        )
+
+    def body(i, carry):
+        params, done, reason, err, ng, iters, err0_first = carry
+
+        def run(_):
+            p, dn, rs, e, g = iteration(params)
+            first = iters == 0
+            return (p, dn, rs, e, g, iters + 1, jnp.where(first, e, err0_first))
+
+        def skip(_):
+            return carry
+
+        return jax.lax.cond(done, skip, run, None)
+
+    big = jnp.array(jnp.inf, dtype=params0.dtype)
+    init = (
+        params0,
+        jnp.array(False),
+        jnp.array(STOP_NONE, dtype=jnp.int32),
+        big,
+        jnp.array(0, dtype=jnp.int32),
+        jnp.array(0, dtype=jnp.int32),
+        big,
+    )
+    params, done, reason, err, ng, iters, err0 = jax.lax.fori_loop(0, settings.num_iter, body, init)
+    return OptimResult(
+        params=params,
+        num_iters=iters,
+        stop_reason=reason,
+        final_error=err,
+        initial_error=err0,
+        num_gaussians=ng,
+    )

@@ -1,0 +1,172 @@
+"""Keyframe ring-buffer map — the keyframe problem adapter.
+
+TPU-native equivalent of the reference's MapManagement + KeyframeData
+(reference: include/DMSA/MapManagement.h, KeyframeData.h): a fixed-capacity
+buffer of keyframes, each a local PointNormal cloud + ring ids + grid size
++ measured gravity (+ plausibility) + captured relative-odometry prior;
+keyframe poses as a consecutive relative chain; global map assembly;
+gravity / odometry error terms; submap extraction and write-back; and the
+shift-out-oldest add semantics.
+
+Everything is padded to (n_keyframes, n_pts_per_kf); active keyframes are a
+prefix mask, so submap optimization is a roll + mask instead of a copy.
+"""
+
+import dataclasses
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dmsa_lidar_slam_tpu.core import poses as cp
+from dmsa_lidar_slam_tpu.core import rotations as rot
+from dmsa_lidar_slam_tpu.dmsa.optimizer import ForwardOut
+
+GRAVITY_W = (0.0, 0.0, -9.805)  # MapManagement.h:64
+STD_DEV_ACC = 0.3  # MapManagement.h:48
+ODOM_STD = 0.01  # MapManagement.h:69-70
+
+
+@dataclasses.dataclass(frozen=True)
+class MapShapes:
+    n_keyframes: int  # last_n_keyframes_for_optim capacity
+    n_pts_per_kf: int  # per-keyframe local cloud capacity
+
+
+class KeyframeMapData(NamedTuple):
+    """Pytree of the keyframe map state (fixed shapes)."""
+
+    local_pts: jnp.ndarray  # [K, P, 3] f32, keyframe-local frame
+    local_normals: jnp.ndarray  # [K, P, 3] f32
+    pt_mask: jnp.ndarray  # [K, P] bool
+    pt_ring: jnp.ndarray  # [K, P] i32
+    grid_size: jnp.ndarray  # [K] f32
+    kf_mask: jnp.ndarray  # [K] bool, active prefix
+    # pose chain: anchor (pose 0) + relative poses (the optimizable part)
+    anchor_orient: jnp.ndarray  # [3] pose dtype
+    anchor_transl: jnp.ndarray  # [3]
+    stamps: jnp.ndarray  # [K] f64 host epoch stamps
+    # gravity factor inputs (MapManagement.h:210-232)
+    grav_meas: jnp.ndarray  # [K, 3]
+    grav_plausible: jnp.ndarray  # [K] bool
+    # odometry prior captured at addKeyframe (MapManagement.h:339-355)
+    odom_rel_transl: jnp.ndarray  # [K, 3]
+    odom_rel_orient: jnp.ndarray  # [K, 3]
+    gravity: jnp.ndarray  # [3]
+    cov_grav_inv: jnp.ndarray  # [3, 3]
+    odom_transl_cov_inv: jnp.ndarray  # [3, 3]
+    odom_orient_cov_inv: jnp.ndarray  # [3, 3]
+    balancing_grav: jnp.ndarray  # []
+    balancing_odom: jnp.ndarray  # []
+
+
+def normal_split_ids(normals_w):
+    """Bucket world normals into 6 direction classes (dominant axis x sign).
+
+    TPU-shaped stand-in for the reference's per-leaf opposed-normal-pair
+    splitting (Gaussians.h:27-85): cells containing two opposing surfaces
+    get split because their members land in different buckets.
+    """
+    ax = jnp.argmax(jnp.abs(normals_w), axis=-1)  # [..., ]
+    comp = jnp.take_along_axis(normals_w, ax[..., None], axis=-1)[..., 0]
+    return (ax * 2 + (comp > 0.0)).astype(jnp.int32)
+
+
+def global_chain(params, data: KeyframeMapData, shapes: MapShapes):
+    anchor = cp.PoseChain(
+        orient=jnp.concatenate(
+            [data.anchor_orient[None, :], jnp.zeros((shapes.n_keyframes - 1, 3), data.anchor_orient.dtype)]
+        ),
+        transl=jnp.concatenate(
+            [data.anchor_transl[None, :], jnp.zeros((shapes.n_keyframes - 1, 3), data.anchor_transl.dtype)]
+        ),
+    )
+    chain = cp.chain_from_params(params, anchor)
+    gp = cp.relative2global(chain)
+    return chain, gp
+
+
+@lru_cache(maxsize=None)
+def make_forward(shapes: MapShapes, use_gravity: bool, use_odometry: bool, use_split: bool):
+    """ForwardOut function for keyframe/submap optimization."""
+
+    def forward(params, data: KeyframeMapData) -> ForwardOut:
+        chain, gp = global_chain(params, data, shapes)
+        R = rot.axang2rotm(gp.orient).astype(jnp.float32)  # [K,3,3]
+        t = gp.transl.astype(jnp.float32)
+
+        pts_w = jnp.einsum("kij,kpj->kpi", R, data.local_pts) + t[:, None, :]
+        nrm_w = jnp.einsum("kij,kpj->kpi", R, data.local_normals)
+
+        mask = data.pt_mask & data.kf_mask[:, None]
+        points = pts_w.reshape(-1, 3)
+        normals = nrm_w.reshape(-1, 3)
+        flat_mask = mask.reshape(-1)
+        rings = data.pt_ring.reshape(-1)
+
+        extras = []
+        if use_gravity:
+            extras.append(gravity_residuals(gp, data))
+        if use_odometry:
+            extras.append(odometry_residuals(chain, data))
+        extra = (
+            jnp.concatenate(extras)
+            if extras
+            else jnp.zeros((0,), dtype=params.dtype)
+        )
+        split = normal_split_ids(normals) if use_split else None
+        return ForwardOut(
+            points=points,
+            mask=flat_mask,
+            ring_ids=rings,
+            obs_weight=None,
+            extra=extra,
+            split_ids=split,
+        )
+
+    return forward
+
+
+def gravity_residuals(gp: cp.GlobalPoses, data: KeyframeMapData):
+    """Gravity error terms (updateGravityErrors, MapManagement.h:210-232).
+
+    Entry 0 is always zero, implausible / inactive keyframes contribute 0.
+    Returns [K]."""
+    R = rot.axang2rotm(gp.orient)  # [K,3,3]
+    diff = jnp.einsum("kij,kj->ki", R, data.grav_meas.astype(gp.orient.dtype)) - data.gravity[None, :]
+    quad = jnp.einsum("ki,ij,kj->k", diff, data.cov_grav_inv, diff) * data.balancing_grav
+    k_idx = jnp.arange(gp.orient.shape[0])
+    active = (k_idx > 0) & data.grav_plausible & data.kf_mask
+    return jnp.where(active, jnp.sqrt(jnp.abs(quad) + 1e-30), 0.0)
+
+
+def odometry_residuals(chain: cp.PoseChain, data: KeyframeMapData):
+    """Odometry error terms (updateOdometryErrors, MapManagement.h:234-252).
+
+    Returns [K-1] (k = 1..K-1), inactive entries 0."""
+    pdt = chain.orient.dtype
+    transl_diff = data.odom_rel_transl[1:].astype(pdt) - chain.transl[1:]
+    R_cur = rot.axang2rotm(chain.orient[1:])
+    R_prior = rot.axang2rotm(data.odom_rel_orient[1:].astype(pdt))
+    orient_diff = rot.rotm2axang(jnp.einsum("kji,kjl->kil", R_cur, R_prior))
+    quad = jnp.einsum("ki,ij,kj->k", transl_diff, data.odom_transl_cov_inv, transl_diff)
+    quad = quad + jnp.einsum("ki,ij,kj->k", orient_diff, data.odom_orient_cov_inv, orient_diff)
+    quad = quad * data.balancing_odom
+    active = data.kf_mask[1:]
+    return jnp.where(active, jnp.sqrt(jnp.abs(quad) + 1e-30), 0.0)
+
+
+def min_grid_size(data: KeyframeMapData):
+    """Minimum grid size over active keyframes (MapManagement.h:126-131)."""
+    return jnp.min(jnp.where(data.kf_mask, data.grid_size, jnp.inf))
+
+
+def global_points(params, data: KeyframeMapData, shapes: MapShapes):
+    """Assembled global map with normals (updateGlobalPoints,
+    MapManagement.h:120-149).  Returns (points [K*P,3], normals, mask, rings)."""
+    out = make_forward(shapes, False, False, False)(params, data)
+    chain, gp = global_chain(params, data, shapes)
+    R = rot.axang2rotm(gp.orient).astype(jnp.float32)
+    nrm_w = jnp.einsum("kij,kpj->kpi", R, data.local_normals).reshape(-1, 3)
+    return out.points, nrm_w, out.mask, out.ring_ids

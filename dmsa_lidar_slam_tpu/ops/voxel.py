@@ -1,0 +1,124 @@
+"""Voxel-grid binning and random-grid downsampling on device.
+
+TPU-native replacement for the reference's PCL octree usage: the octree
+build per optimizer iteration (DmsaOptimizer.h:275-350) and the
+random-point-per-voxel downsampling (helpers.h:67-182) both become
+sort + segment reductions over packed voxel keys — fixed shapes, no trees.
+
+Voxel identity is a pair of int32 keys (no int64 needed on TPU):
+key_hi = (ix << 16) | iy, key_lo = iz, with grid coordinates offset into
+[0, 2^15).  Points are lexsorted by (hi, lo); contiguous runs of equal keys
+are the voxel cells.  Invalid (masked) points get the maximal key so they
+sort to the end and never merge with a real cell.
+
+Determinism: the reference seeds rand() with time(0) (helpers.h:85); here
+random voxel sampling uses counter-based jax PRNG keys supplied by the
+caller.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_COORD_OFFSET = 1 << 14  # grid coords shifted into [0, 2^15)
+_INVALID_HI = jnp.iinfo(jnp.int32).max
+
+
+class VoxelBinning(NamedTuple):
+    """Result of binning N points into voxel cells (fixed shapes, size N).
+
+    order      [N] permutation sorting points by voxel key (invalid last)
+    seg_ids    [N] cell index per *sorted* point, in [0, N); invalid -> N - 1
+               area shared with valid tail cells is avoided via valid mask
+    point_cell [N] cell index per *original* point (N-1 sentinel if invalid)
+    num_cells  [] int32, number of occupied cells (valid points only)
+    """
+
+    order: jnp.ndarray
+    seg_ids: jnp.ndarray
+    point_cell: jnp.ndarray
+    num_cells: jnp.ndarray
+
+
+def voxel_coords(points, grid_size):
+    """Integer voxel coordinates [N, 3] (floor of p / grid)."""
+    return jnp.floor(points / grid_size).astype(jnp.int32) + _COORD_OFFSET
+
+
+def voxel_keys(points, mask, grid_size, channel=None):
+    """Packed (hi, lo) int32 voxel keys; invalid points get the max key.
+
+    `channel` [N] (small non-negative ints < 8) optionally subdivides each
+    voxel — used for normal-based cell splitting (Gaussians.h:27-85).
+    """
+    c = voxel_coords(points, grid_size)
+    hi = (c[:, 0] << 16) | (c[:, 1] & 0xFFFF)
+    lo = c[:, 2]
+    if channel is not None:
+        lo = (lo << 3) | (channel & 0x7)
+    hi = jnp.where(mask, hi, _INVALID_HI)
+    lo = jnp.where(mask, lo, _INVALID_HI)
+    return hi, lo
+
+
+def bin_points(points, mask, grid_size, channel=None) -> VoxelBinning:
+    """Bin masked points [N, 3] into voxel cells of size grid_size."""
+    n = points.shape[0]
+    hi, lo = voxel_keys(points, mask, grid_size, channel)
+    order = jnp.lexsort((lo, hi))
+    hi_s = hi[order]
+    lo_s = lo[order]
+    valid_s = mask[order]
+
+    new_cell = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=jnp.int32),
+            ((hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])).astype(jnp.int32),
+        ]
+    )
+    seg_ids = jnp.cumsum(new_cell) - 1  # [N], 0-based cell ids in sorted order
+    num_cells = jnp.where(jnp.any(valid_s), jnp.max(jnp.where(valid_s, seg_ids, -1)) + 1, 0)
+    seg_ids = jnp.minimum(seg_ids, n - 1)
+
+    inv_order = jnp.argsort(order)
+    point_cell = seg_ids[inv_order]
+    point_cell = jnp.where(mask, point_cell, n - 1)
+    return VoxelBinning(order=order, seg_ids=seg_ids, point_cell=point_cell, num_cells=num_cells)
+
+
+def random_downsample_mask(points, mask, grid_size, key):
+    """Random-grid downsampling: keep one uniformly random point per voxel.
+
+    Functional equivalent of randomGridDownsampling (helpers.h:67-106) with
+    counter-based PRNG instead of srand(time(0)).  Returns a boolean keep
+    mask [N] (true for exactly one valid point per occupied voxel).
+    """
+    n = points.shape[0]
+    binning = bin_points(points, mask, grid_size)
+    # random priority per point; segment-min selects a uniform random member
+    prio = jax.random.permutation(key, n)
+    prio_orig = jnp.where(mask, prio, n + 1)
+    prio_sorted = prio_orig[binning.order]
+    seg_min = jax.ops.segment_min(prio_sorted, binning.seg_ids, num_segments=n)
+    keep = prio_orig == seg_min[binning.point_cell]
+    return keep & mask
+
+
+def compact(mask, cap: int):
+    """Pack the True entries of `mask` [N] to the front, capped at `cap`.
+
+    Returns (indices [cap], out_mask [cap]).  Stable order.  Overflow beyond
+    `cap` is dropped (callers should log `mask.sum()` vs cap — no silent
+    truncation policy).
+    """
+    order = jnp.argsort(~mask, stable=True)
+    idx = order[:cap]
+    count = jnp.sum(mask)
+    out_mask = jnp.arange(cap) < count
+    return idx, out_mask
+
+
+def count_voxels(points, mask, grid_size):
+    """Number of occupied voxels (for the adaptive preprocessing ladder)."""
+    return bin_points(points, mask, grid_size).num_cells
