@@ -159,9 +159,19 @@ def optimize(
             step,
         )
 
-        # 9-candidate line search, one vmap (DmsaOptimizer.h:152-182)
-        ks = jnp.arange(1, 10, dtype=params.dtype)
-        cand_params = params[None, :] + 0.1 * ks[:, None] * step[None, :]
+        # line search, one vmap (DmsaOptimizer.h:152-182).  The reference
+        # probes 0.1..0.9 of the step; we extend the grid downward with
+        # geometric fractions because the within-iteration (frozen-cell)
+        # landscape can have a much smaller descent region than 0.1*step —
+        # a strict superset of the reference's candidates, same argmin when
+        # the reference's grid suffices.
+        ks = jnp.concatenate(
+            [
+                0.1 * jnp.arange(1, 10, dtype=params.dtype),
+                jnp.asarray([0.05, 0.02, 0.01, 0.005, 0.002], dtype=params.dtype),
+            ]
+        )
+        cand_params = params[None, :] + ks[:, None] * step[None, :]
         cand_err = jax.vmap(lambda p: (lambda e: jnp.dot(e, e))(res_fn(p)))(cand_params)
         all_err = jnp.concatenate([error0[None], cand_err])
         best = jnp.argmin(all_err)

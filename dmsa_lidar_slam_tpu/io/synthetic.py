@@ -1,0 +1,191 @@
+"""Synthetic LiDAR-inertial sequence generator.
+
+A dataset-free data source for tests, benchmarks, and demos: a room-like
+scene sampled as spinning-LiDAR scans (ring ids from elevation, per-point
+azimuth stamps, intra-sweep motion distortion) plus consistent IMU samples,
+along an analytic constant-twist trajectory.
+"""
+
+from typing import Iterator, NamedTuple, Optional, Tuple
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+GRAVITY = np.array([0.0, 0.0, -9.805])
+
+
+def room_scene(scale: float = 1.0):
+    """Plane list [(point, normal, extent_u, extent_v)]: a 20x14x4 room with
+    two interior boxes, optionally scaled (small rooms make the adaptive
+    preprocessing ladder pick fine grids at small test point budgets)."""
+    planes = []
+
+    def add_box(center, size):
+        cx, cy, cz = center
+        sx, sy, sz = size
+        planes.extend(
+            [
+                ((cx - sx / 2, cy, cz), (-1, 0, 0), sy / 2, sz / 2),
+                ((cx + sx / 2, cy, cz), (1, 0, 0), sy / 2, sz / 2),
+                ((cx, cy - sy / 2, cz), (0, -1, 0), sx / 2, sz / 2),
+                ((cx, cy + sy / 2, cz), (0, 1, 0), sx / 2, sz / 2),
+                ((cx, cy, cz + sz / 2), (0, 0, 1), sx / 2, sy / 2),
+            ]
+        )
+
+    planes.append(((0, 0, 0), (0, 0, 1), 10, 7))
+    planes.append(((0, 0, 4), (0, 0, -1), 10, 7))
+    planes.append(((-10, 0, 2), (1, 0, 0), 7, 2))
+    planes.append(((10, 0, 2), (-1, 0, 0), 7, 2))
+    planes.append(((0, -7, 2), (0, 1, 0), 10, 2))
+    planes.append(((0, 7, 2), (0, -1, 0), 10, 2))
+    add_box((4, 2, 0.75), (1.5, 1.5, 1.5))
+    add_box((-3, -3, 1.0), (2.0, 1.0, 2.0))
+    if scale != 1.0:
+        planes = [
+            (tuple(scale * np.asarray(p0)), nrm, scale * eu, scale * ev)
+            for (p0, nrm, eu, ev) in planes
+        ]
+    return planes
+
+
+def _plane_frame(normal):
+    n = np.asarray(normal, dtype=float)
+    n = n / np.linalg.norm(n)
+    a = np.array([1.0, 0.0, 0.0]) if abs(n[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    u = np.cross(n, a)
+    u /= np.linalg.norm(u)
+    v = np.cross(n, u)
+    return u, v
+
+
+def sample_scene_points(rng, n_points, planes=None):
+    planes = planes or room_scene()
+    areas = np.array([4.0 * eu * ev for (_, _, eu, ev) in planes])
+    counts = rng.multinomial(n_points, areas / areas.sum())
+    pts = []
+    for (p0, nrm, eu, ev), c in zip(planes, counts):
+        u, v = _plane_frame(nrm)
+        uu = rng.uniform(-eu, eu, size=c)
+        vv = rng.uniform(-ev, ev, size=c)
+        pts.append(np.asarray(p0)[None, :] + uu[:, None] * u[None, :] + vv[:, None] * v[None, :])
+    pts = np.concatenate(pts, axis=0)
+    return pts[rng.permutation(len(pts))]
+
+
+class TruePose(NamedTuple):
+    position: np.ndarray
+    rotvec: np.ndarray
+
+
+class SyntheticSequence:
+    """Ramped-twist trajectory with scans + IMU.
+
+    The platform starts AT REST and ramps linearly to (v_lin, yaw_rate)
+    over `t_ramp` seconds — like real handheld/robot datasets, whose static
+    start is what makes the reference's zero initial guess viable for the
+    first window.  pose(t): position integrates v(t) (world), orientation
+    is yaw about z.  IMU: body rates [0,0,yaw_rate(t)], accel =
+    R^T * (a_world - g).
+    """
+
+    def __init__(
+        self,
+        rng: Optional[np.random.Generator] = None,
+        v_lin=(1.2, 0.4, 0.0),
+        yaw_rate: float = 0.4,
+        p0=(-4.0, -1.0, 1.2),
+        yaw0: float = 0.15,
+        sweep: float = 0.1,
+        t_start: float = 1000.0,
+        t_ramp: float = 1.0,
+        noise_std: float = 0.0,
+        room_scale: float = 1.0,
+    ):
+        self.rng = rng or np.random.default_rng(0)
+        self.v_lin = np.asarray(v_lin, float) * room_scale
+        self.yaw_rate = yaw_rate
+        self.p0 = np.asarray(p0, float) * room_scale
+        self.yaw0 = yaw0
+        self.sweep = sweep
+        self.t_start = t_start
+        self.t_ramp = t_ramp
+        self.noise_std = noise_std
+        self.planes = room_scene(room_scale)
+
+    def _ramp_integral(self, rel: float) -> float:
+        """Integral of the ramp profile min(t/t_ramp, 1) from 0 to rel."""
+        if rel <= 0:
+            return 0.0
+        if rel < self.t_ramp:
+            return 0.5 * rel * rel / self.t_ramp
+        return 0.5 * self.t_ramp + (rel - self.t_ramp)
+
+    def _ramp(self, rel: float) -> float:
+        return float(np.clip(rel / self.t_ramp, 0.0, 1.0))
+
+    def pose(self, t: float) -> TruePose:
+        rel = t - self.t_start
+        s = self._ramp_integral(rel)
+        return TruePose(
+            position=self.p0 + self.v_lin * s,
+            rotvec=np.array([0.0, 0.0, self.yaw0 + self.yaw_rate * s]),
+        )
+
+    def world_accel(self, t: float) -> np.ndarray:
+        rel = t - self.t_start
+        if 0 <= rel < self.t_ramp:
+            return self.v_lin / self.t_ramp
+        return np.zeros(3)
+
+    def scan(self, scan_idx: int, pts_per_scan: int, n_rings: int = 16):
+        """One motion-distorted scan: (points [n,3] f32 lidar frame,
+        stamps [n] f64, rings [n] i32)."""
+        t0 = self.t_start + scan_idx * self.sweep
+        world = sample_scene_points(self.rng, pts_per_scan, planes=self.planes)
+        stamps = t0 + np.sort(self.rng.uniform(0, self.sweep, size=pts_per_scan))
+        local = np.zeros((pts_per_scan, 3), dtype=np.float32)
+        # per-point pose (intra-sweep motion): vectorized via small batches
+        for i in range(pts_per_scan):
+            pose = self.pose(stamps[i])
+            R = Rotation.from_rotvec(pose.rotvec).as_matrix()
+            local[i] = R.T @ (world[i] - pose.position)
+        if self.noise_std > 0:
+            local += self.rng.normal(scale=self.noise_std, size=local.shape).astype(np.float32)
+        rng_norm = np.linalg.norm(local, axis=1)
+        elev = np.arcsin(np.clip(local[:, 2] / np.maximum(rng_norm, 1e-9), -1, 1))
+        rings = np.clip(((elev + np.pi / 4) / (np.pi / 2) * n_rings).astype(np.int32), 0, n_rings - 1)
+        return local, stamps, rings
+
+    def imu_samples(self, t_from: float, t_to: float, rate: float = 400.0):
+        """IMU (stamps, acc [n,3], gyr [n,3]) consistent with the motion."""
+        ts = np.arange(t_from, t_to, 1.0 / rate)
+        acc = np.zeros((len(ts), 3))
+        gyr = np.zeros((len(ts), 3))
+        for i, t in enumerate(ts):
+            pose = self.pose(t)
+            R = Rotation.from_rotvec(pose.rotvec).as_matrix()
+            acc[i] = R.T @ (self.world_accel(t) - GRAVITY)
+            gyr[i] = [0.0, 0.0, self.yaw_rate * self._ramp(t - self.t_start)]
+        return ts, acc, gyr
+
+
+def ate_rmse(est_stamps, est_pos, seq: SyntheticSequence, align: bool = True) -> float:
+    """Absolute trajectory error RMSE of estimated positions vs the analytic
+    truth, after rigid (SE3, no scale) Umeyama alignment — the estimator's
+    frame is anchored at its unknown starting pose, like any SLAM output."""
+    est = np.asarray([np.asarray(p, float) for p in est_pos])
+    gt = np.asarray([seq.pose(float(s)).position for s in est_stamps])
+    if len(est) == 0:
+        return float("nan")
+    if align and len(est) >= 3:
+        mu_e = est.mean(axis=0)
+        mu_g = gt.mean(axis=0)
+        H = (est - mu_e).T @ (gt - mu_g)
+        U, _, Vt = np.linalg.svd(H)
+        D = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+        R = Vt.T @ D @ U.T
+        est = (est - mu_e) @ R.T + mu_g
+    elif align:
+        est = est - est[0] + gt[0]
+    return float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))

@@ -1,0 +1,89 @@
+"""CLI runner: rosbag(s) -> DMSA SLAM -> Poses.txt + PointCloud.pcd.
+
+Equivalent of the reference's main()/dmsa_slam_ros::spin (reference:
+src/main.cpp:19-29, src/dmsa_slam_ros.cpp:240-307): iterate the bag(s) over
+the lidar + imu topics in bag order, dispatch to the SLAM pipeline, write
+cyclic outputs every 20 clouds and final outputs at the end.
+
+Usage:
+    python -m dmsa_lidar_slam_tpu.pipeline.runner config/slam_settings.yaml \
+        config/newer_college_ouster_64.yaml [--max-scans N]
+"""
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+from dmsa_lidar_slam_tpu.config import load_config
+from dmsa_lidar_slam_tpu.io import pointcloud2 as pc2
+from dmsa_lidar_slam_tpu.io import rosbag
+from dmsa_lidar_slam_tpu.io.pcd import save_pcd
+from dmsa_lidar_slam_tpu.pipeline.slam import DmsaSlam
+
+log = logging.getLogger("dmsa_runner")
+
+CYCLIC_SAVE_EVERY = 20  # clouds (dmsa_slam_ros.cpp:495-506)
+
+
+def save_outputs(slam: DmsaSlam, result_dir: str):
+    path = slam.save_poses(result_dir)
+    pts = slam.map_points()
+    if pts is not None and len(pts):
+        save_pcd(f"{result_dir}/PointCloud.pcd", pts)
+    return path
+
+
+def run(config_paths, overrides=None, max_scans=None, result_dir=None):
+    cfg = load_config(*config_paths, overrides=overrides)
+    if result_dir:
+        cfg.result_dir = result_dir
+    slam = DmsaSlam(cfg)
+
+    topics = [t for t in (cfg.lidar_topic, cfg.imu_topic) if t]
+    n_scans = 0
+    last_pc_stamp = None
+    t_start = time.perf_counter()
+    for msg in rosbag.read_messages_multi(cfg.bag_dirs, topics):
+        if msg.topic == cfg.lidar_topic:
+            cloud = pc2.parse_pointcloud2(msg.raw)
+            if cfg.sensor == "unknown" and last_pc_stamp is None:
+                last_pc_stamp = cloud.stamp
+                continue
+            pts, stamps, rings = pc2.decode_points(cloud, cfg.sensor, last_pc_stamp)
+            last_pc_stamp = cloud.stamp
+            slam.process_scan(pts, stamps, rings)
+            n_scans += 1
+            if n_scans % CYCLIC_SAVE_EVERY == 0:
+                save_outputs(slam, cfg.result_dir)
+            if max_scans and n_scans >= max_scans:
+                break
+        elif msg.topic == cfg.imu_topic:
+            imu = pc2.parse_imu(msg.raw)
+            slam.process_imu(imu.linear_acceleration, imu.angular_velocity, imu.stamp)
+
+    wall = time.perf_counter() - t_start
+    path = save_outputs(slam, cfg.result_dir)
+    log.info("processed %d scans in %.1fs -> %s", n_scans, wall, path)
+    log.info("stage timings: %s", slam.metrics.summary())
+    return slam
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="DMSA LiDAR SLAM (TPU-native)")
+    parser.add_argument("configs", nargs="+", help="YAML config overlay paths (in order)")
+    parser.add_argument("--max-scans", type=int, default=None)
+    parser.add_argument("--result-dir", default=None)
+    parser.add_argument("-v", "--verbose", action="store_true")
+    args = parser.parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+    run(args.configs, max_scans=args.max_scans, result_dir=args.result_dir)
+
+
+if __name__ == "__main__":
+    main()

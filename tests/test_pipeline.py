@@ -1,0 +1,104 @@
+"""End-to-end pipeline test: synthetic sequence through DmsaSlam.
+
+Small shapes for CPU speed; checks that the full per-scan pipeline runs
+(preprocess -> window -> static points -> optimize -> keyframes -> output)
+and that the estimated trajectory tracks the analytic ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from dmsa_lidar_slam_tpu.config import Config
+from dmsa_lidar_slam_tpu.io.synthetic import SyntheticSequence, ate_rmse
+from dmsa_lidar_slam_tpu.pipeline.slam import DmsaSlam
+
+
+def small_config(**overrides) -> Config:
+    cfg = Config(
+        n_clouds=3,
+        num_control_poses=6,
+        max_num_points_per_scan=700,
+        min_dist_ds=3.0,
+        min_dist=0.05,
+        num_iter_sliding_window_optim=8,
+        num_iter_keyframe_optim=5,
+        min_num_points_gauss=5,
+        min_num_points_gauss_key=5,
+        closest_k_keyframes_as_static_points=3,
+        last_n_keyframes_for_optim=10,
+        dist_new_keyframe=0.3,
+        n_dense=251,
+        static_points_cap=4096,
+        keyframe_points_cap=2048,
+        raw_scan_cap=4096,
+    )
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def run_sequence(slam: DmsaSlam, seq: SyntheticSequence, n_scans: int, pts: int, use_imu: bool):
+    imu_cursor = seq.t_start - 0.2
+    for i in range(n_scans):
+        t_scan_end = seq.t_start + (i + 1) * seq.sweep
+        if use_imu:
+            ts, acc, gyr = seq.imu_samples(imu_cursor, t_scan_end)
+            for j in range(len(ts)):
+                slam.process_imu(acc[j], gyr[j], ts[j])
+            imu_cursor = t_scan_end
+        pts_l, stamps, rings = seq.scan(i, pts)
+        slam.process_scan(pts_l, stamps, rings)
+
+
+def check_trajectory(slam, seq, max_rmse=0.15):
+    n = slam.kf_map.count
+    rmse = ate_rmse(slam.kf_map.stamps[:n], slam.kf_map.transl_w[:n], seq)
+    assert rmse < max_rmse, f"ATE RMSE {rmse}"
+    # alignment-invariant shape check: est displacement between first and
+    # last keyframe vs truth
+    est_d = np.linalg.norm(slam.kf_map.transl_w[n - 1] - slam.kf_map.transl_w[0])
+    true_d = np.linalg.norm(
+        seq.pose(slam.kf_map.stamps[n - 1]).position - seq.pose(slam.kf_map.stamps[0]).position
+    )
+    assert abs(est_d - true_d) < 0.15 + 0.1 * true_d, f"displacement {est_d} vs {true_d}"
+    return rmse
+
+
+@pytest.mark.slow
+def test_pipeline_lidar_only(rng, tmp_path):
+    cfg = small_config(use_imu=False)
+    slam = DmsaSlam(cfg)
+    seq = SyntheticSequence(rng=np.random.default_rng(7), noise_std=0.01, room_scale=0.45)
+    run_sequence(slam, seq, n_scans=14, pts=900, use_imu=False)
+
+    assert slam.kf_map.count >= 2, "keyframes should accumulate"
+    check_trajectory(slam, seq)
+
+    path = slam.save_poses(str(tmp_path))
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == len(slam.output.order_is_key)
+    assert all(len(l.split()) == 8 for l in lines)
+
+
+@pytest.mark.slow
+def test_pipeline_with_imu(rng, tmp_path):
+    cfg = small_config(use_imu=True, imu_factor_weight_submap=0.001)
+    slam = DmsaSlam(cfg)
+    seq = SyntheticSequence(rng=np.random.default_rng(11), noise_std=0.01, room_scale=0.45)
+    run_sequence(slam, seq, n_scans=14, pts=900, use_imu=True)
+
+    assert slam.kf_map.count >= 2
+    check_trajectory(slam, seq)
+    # IMU was actually used
+    assert slam.config.use_imu
+
+
+def test_pipeline_imu_dropout_fallback(rng):
+    """With use_imu=True but no IMU fed, the pipeline must disable IMU and
+    still run (DmsaSlam.h:431-435)."""
+    cfg = small_config(use_imu=True)
+    slam = DmsaSlam(cfg)
+    seq = SyntheticSequence(rng=np.random.default_rng(13), noise_std=0.01, room_scale=0.45)
+    run_sequence(slam, seq, n_scans=6, pts=700, use_imu=False)
+    assert not slam.config.use_imu
+    assert slam.kf_map.count >= 1
