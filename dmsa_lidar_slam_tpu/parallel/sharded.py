@@ -126,13 +126,17 @@ def sharded_gn_step(
     step_length: float,
     max_step: float,
     axis_name: str = "data",
+    extra_fn=None,
 ):
     """One damped GN step with points sharded over `axis_name`.
 
     transform_fn(params, local_pts) -> global points [n_local, 3]: the
-    problem's deskew/compose, differentiable in params.  Cell build, the
-    residual, and J^T J / J^T r reductions all ride psum; the small solve
-    is replicated.  Call inside shard_map (or via `make_sharded_step`).
+    problem's deskew/compose, differentiable in params (may use
+    jax.lax.axis_index(axis_name) to identify its shard).  extra_fn(params)
+    -> replicated additional residuals (IMU / gravity / odometry terms).
+    Cell build, the residual, and J^T J / J^T r reductions all ride psum;
+    the small solve is replicated.  Call inside shard_map (or via
+    `make_sharded_step`).
     """
 
     def residuals(p, cells_and_cids):
@@ -141,6 +145,8 @@ def sharded_gn_step(
             cell_residuals_sharded(pts, mask, cid, cells, table_size, axis_name)
             for cells, cid in cells_and_cids
         ]
+        if extra_fn is not None:
+            parts.append(extra_fn(p))
         return jnp.concatenate(parts)
 
     pts0 = transform_fn(params, local_pts)
@@ -174,7 +180,17 @@ def sharded_gn_step(
     return new_params, all_err[best], sum(c.num_valid for c, _ in cells_and_cids)
 
 
-def make_sharded_step(mesh: Mesh, transform_fn, min_points, table_size, lambda_diag, step_length, max_step, grid_sizes):
+def make_sharded_step(
+    mesh: Mesh,
+    transform_fn,
+    min_points,
+    table_size,
+    lambda_diag,
+    step_length,
+    max_step,
+    grid_sizes,
+    extra_fn=None,
+):
     """jit-compiled shard_map wrapper of sharded_gn_step.
 
     Inputs: params replicated; local_pts/mask/rings sharded on leading axis.
@@ -196,6 +212,7 @@ def make_sharded_step(mesh: Mesh, transform_fn, min_points, table_size, lambda_d
             step_length,
             max_step,
             axis_name=axis,
+            extra_fn=extra_fn,
         )
 
     sharded = jax.shard_map(
