@@ -80,18 +80,20 @@ class OptimResult(NamedTuple):
 
 
 def chunked_jacfwd(fn: Callable, params: jnp.ndarray, chunk: int) -> jnp.ndarray:
-    """J[i, j] = d fn(params)_i / d params_j, computed `chunk` tangents at a
-    time to bound forward-mode memory."""
+    """J[i, j] = d fn(params)_i / d params_j.
+
+    Linearizes once (one primal pass) and pushes `chunk` tangents at a time
+    through the linearized function — unlike naive jacfwd/jvp-per-column,
+    the nonlinear primal is not recomputed per tangent block.
+    """
     p = params.shape[0]
     eye = jnp.eye(p, dtype=params.dtype)
-
-    def jvp_one(tangent):
-        return jax.jvp(fn, (params,), (tangent,))[1]
+    _, lin = jax.linearize(fn, params)
 
     cols = []
     for start in range(0, p, chunk):
         block = eye[start : start + chunk]
-        cols.append(jax.vmap(jvp_one)(block))  # [chunk, R]
+        cols.append(jax.vmap(lin)(block))  # [chunk, R]
     return jnp.concatenate(cols, axis=0).T  # [R, P]
 
 

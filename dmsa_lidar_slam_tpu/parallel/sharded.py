@@ -44,16 +44,14 @@ def hash_cell_ids(points, mask, grid_size, table_size: int):
     return jnp.where(mask, h, table_size - 1)
 
 
-def _partial_cell_stats(points, w, cid, rings, table_size):
-    """Per-shard partial sums for cell statistics (to be psum'd)."""
+def _partial_first_moments(points, w, cid, rings, table_size):
+    """Per-shard first-order partial sums for cell statistics (psum'd)."""
     count = jax.ops.segment_sum(w, cid, num_segments=table_size)
     psum_ = jax.ops.segment_sum(points * w[:, None], cid, num_segments=table_size)
-    outer = (points[:, :, None] * points[:, None, :]).reshape(-1, 9) * w[:, None]
-    m2 = jax.ops.segment_sum(outer, cid, num_segments=table_size)
     big = jnp.iinfo(jnp.int32).max
     rmin = jax.ops.segment_min(jnp.where(w > 0, rings, big), cid, num_segments=table_size)
     rmax = jax.ops.segment_max(jnp.where(w > 0, rings, -big), cid, num_segments=table_size)
-    return count, psum_, m2, rmin, rmax
+    return count, psum_, rmin, rmax
 
 
 class ShardedCells(NamedTuple):
@@ -66,25 +64,27 @@ class ShardedCells(NamedTuple):
 def build_cells_sharded(points, mask, rings, grid_size, min_points, table_size, axis_name="data"):
     """Cell statistics with cross-device reduction (call inside shard_map).
 
-    Uses raw second moments (not two-pass centered) because partial sums
-    must combine across devices; pose-local coordinates keep magnitudes
-    small enough for f32 (window is centralized upstream).
+    Two-pass: psum first moments -> global means; then psum mean-centered
+    second moments.  The extra psum round buys f32 safety — raw moments
+    cancel catastrophically (cov ~1e-4 under coordinates ~10 m) and the
+    floored inverse amplifies that noise by 1/floor^2.
     """
     w = mask.astype(points.dtype)
     cid = hash_cell_ids(points, mask, grid_size, table_size)
-    count, psum_, m2, rmin, rmax = _partial_cell_stats(points, w, cid, rings, table_size)
+    count, psum_, rmin, rmax = _partial_first_moments(points, w, cid, rings, table_size)
     count = jax.lax.psum(count, axis_name)
     psum_ = jax.lax.psum(psum_, axis_name)
-    m2 = jax.lax.psum(m2, axis_name)
     rmin = jax.lax.pmin(rmin, axis_name)
     rmax = jax.lax.pmax(rmax, axis_name)
 
     safe_n = jnp.maximum(count, 1.0)
     mean = psum_ / safe_n[:, None]
+
+    centered = (points - mean[cid]) * w[:, None]
+    outer = (centered[:, :, None] * centered[:, None, :]).reshape(-1, 9)
+    m2 = jax.ops.segment_sum(outer, cid, num_segments=table_size)
+    m2 = jax.lax.psum(m2, axis_name)
     cov = m2.reshape(-1, 3, 3) / jnp.maximum(count - 1.0, 1.0)[:, None, None]
-    cov = cov - (count / jnp.maximum(count - 1.0, 1.0))[:, None, None] * (
-        mean[:, :, None] * mean[:, None, :]
-    )
 
     slot = jnp.arange(table_size)
     valid = (count >= min_points) & (rmin != rmax) & (slot < table_size - 1)

@@ -41,8 +41,10 @@ def preprocess_scan(
 ) -> PreprocessResult:
     from dmsa_lidar_slam_tpu.ops import voxel
 
+    # approximate (hash-occupancy, sort-free) counts for the grid decision;
+    # the actual downsampling below does the one real sort
     counts = jnp.stack(
-        [voxel.count_voxels(raw_pts, raw_mask, g) for g in GRID_LADDER]
+        [voxel.count_voxels_approx(raw_pts, raw_mask, g) for g in GRID_LADDER]
     )
     ladder = jnp.asarray(GRID_LADDER, dtype=raw_pts.dtype)
     # first grid (coarse->fine) with count >= max_num, else the finest
