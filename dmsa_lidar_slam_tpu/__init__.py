@@ -35,6 +35,18 @@ if os.environ.get("DMSA_DISABLE_X64", "0") != "1":
 
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the pipeline compiles ~8 large graphs; with
+# the cache, later processes (benchmarks, production restarts) skip the
+# multi-minute cold start entirely.
+if os.environ.get("DMSA_DISABLE_COMPILE_CACHE", "0") != "1":
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("DMSA_COMPILE_CACHE_DIR", os.path.expanduser("~/.dmsa_jax_cache")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from dmsa_lidar_slam_tpu.config import Config, load_config  # noqa: E402,F401
 
 __version__ = "0.1.0"

@@ -124,6 +124,25 @@ def count_voxels(points, mask, grid_size):
     return bin_points(points, mask, grid_size).num_cells
 
 
+_DC_CACHE = {}
+
+
+def downsample_compact(points, mask, rings, grid_size, key, cap: int):
+    """Random-grid downsample + pack to `cap` slots, one fused jit call.
+
+    Returns (points [cap,3], rings [cap], out_mask [cap], total_kept []).
+    """
+    if cap not in _DC_CACHE:
+
+        def f(points, mask, rings, grid_size, key):
+            keep = random_downsample_mask(points, mask, grid_size, key)
+            idx, out_mask = compact(keep, cap)
+            return points[idx], rings[idx], out_mask, jnp.sum(keep)
+
+        _DC_CACHE[cap] = jax.jit(f)
+    return _DC_CACHE[cap](points, mask, rings, grid_size, key)
+
+
 def count_voxels_approx(points, mask, grid_size, table_bits: int = 18):
     """Approximate occupied-voxel count via hash-table occupancy — no sort.
 

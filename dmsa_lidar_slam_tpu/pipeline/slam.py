@@ -334,7 +334,7 @@ class DmsaSlam:
 
     def _store_old_window(self, params, data, t0_w):
         shapes = self.window_shapes
-        _, gp, _, _ = ct.dense_poses(params, data, shapes)
+        _, gp, _, _ = ct.dense_poses_jit(params, data, shapes)
         self.old_window = OldWindow(
             orient_w=np.array(gp.orient),
             transl_w=np.array(gp.transl),
@@ -379,7 +379,7 @@ class DmsaSlam:
     def _gravity_estimate(self, params, data, use_imu_now):
         if not use_imu_now:
             return np.zeros(3), False
-        chain, gp, d_o, d_t = ct.dense_poses(params, data, self.window_shapes)
+        chain, gp, d_o, d_t = ct.dense_poses_jit(params, data, self.window_shapes)
         grav = np.array(
             ct.submap_gravity_estimate(gp, d_t, data, self.window_shapes), dtype=float
         )
@@ -454,21 +454,22 @@ class DmsaSlam:
     def _add_new_keyframe(self, fwd, params, data, t0_w, min_grid, use_imu_now):
         """addNewKeyframeToMap (DmsaSlam.h:500-555)."""
         out = fwd(params, data)
-        window_pts = out.points[: self.window_shapes.n_window_pts]
-        window_mask = out.mask[: self.window_shapes.n_window_pts]
-        window_rings = out.ring_ids[: self.window_shapes.n_window_pts]
-
-        keep = voxel.random_downsample_mask(window_pts, window_mask, min_grid, self._next_key())
-        idx, m = voxel.compact(keep, self.map_shapes.n_pts_per_kf)
-        n_kept = int(jnp.sum(keep))
-        if n_kept > self.map_shapes.n_pts_per_kf:
+        nw = self.window_shapes.n_window_pts
+        pts_c, rings_c, m, n_kept = voxel.downsample_compact(
+            out.points[:nw],
+            out.mask[:nw],
+            out.ring_ids[:nw],
+            min_grid,
+            self._next_key(),
+            self.map_shapes.n_pts_per_kf,
+        )
+        if int(n_kept) > self.map_shapes.n_pts_per_kf:
             log.warning(
-                "keyframe cloud overflow: %d > cap %d", n_kept, self.map_shapes.n_pts_per_kf
+                "keyframe cloud overflow: %d > cap %d", int(n_kept), self.map_shapes.n_pts_per_kf
             )
-        pts_w = np.array(window_pts[idx])
-        rings = np.array(window_rings[idx])
         mask = np.array(m)
-        pts_w, rings = pts_w[mask], rings[mask]
+        pts_w = np.array(pts_c)[mask]
+        rings = np.array(rings_c)[mask]
 
         anchor_o = np.array(data.anchor_orient, float)
         anchor_t = np.array(data.anchor_transl, float)
@@ -525,20 +526,25 @@ class DmsaSlam:
 
     def _reanchor_old_window(self, new_anchor_o, new_anchor_t):
         """Replace the stored window's anchor pose and recompose its global
-        control poses, keeping the relative chain."""
+        control poses, keeping the relative chain.  Pure host math (a few
+        poses) — no device round trips."""
         ow = self.old_window
         if ow is None:
             return
-        chain = cp.global2relative(
-            cp.GlobalPoses(jnp.array(ow.orient_w), jnp.array(ow.transl_w))
-        )
-        chain = cp.PoseChain(
-            orient=chain.orient.at[0].set(jnp.array(new_anchor_o)),
-            transl=chain.transl.at[0].set(jnp.array(new_anchor_t)),
-        )
-        gp = cp.relative2global(chain)
-        ow.orient_w = np.array(gp.orient)
-        ow.transl_w = np.array(gp.transl)
+        n = len(ow.orient_w)
+        R_old = Rotation.from_rotvec(ow.orient_w).as_matrix()
+        # relative chain from stored globals
+        rel_R = [R_old[k - 1].T @ R_old[k] for k in range(1, n)]
+        rel_t = [R_old[k - 1].T @ (ow.transl_w[k] - ow.transl_w[k - 1]) for k in range(1, n)]
+        R = Rotation.from_rotvec(np.asarray(new_anchor_o)).as_matrix()
+        t = np.asarray(new_anchor_t, dtype=float).copy()
+        ow.orient_w[0] = new_anchor_o
+        ow.transl_w[0] = t
+        for k in range(1, n):
+            t = t + R @ rel_t[k - 1]
+            R = R @ rel_R[k - 1]
+            ow.orient_w[k] = Rotation.from_matrix(R).as_rotvec()
+            ow.transl_w[k] = t
 
     # ---------------------------------------------------------------- misc
     def map_points(self):

@@ -85,7 +85,7 @@ def build_window(
     gravity = np.asarray(ct.GRAVITY_W)
 
     if use_imu:
-        pr_rot, pr_vel, pr_pos, cov_inv, pr_full = ct.compute_preint_factors(
+        pr_rot, pr_vel, pr_pos, cov_inv, pr_full = ct.compute_preint_factors_jit(
             jnp.asarray(gyr_dense, dtype=pdt),
             jnp.asarray(acc_dense, dtype=pdt),
             jnp.asarray(dt, dtype=pdt),

@@ -98,6 +98,19 @@ def ctrl_stamps_from_dt(dt, shapes: WindowShapes):
     return idx * dt
 
 
+@lru_cache(maxsize=None)
+def _dense_poses_jit(shapes: WindowShapes):
+    import jax
+
+    return jax.jit(lambda p, d: dense_poses(p, d, shapes))
+
+
+def dense_poses_jit(params, data, shapes: WindowShapes):
+    """jit-compiled dense_poses (per-scan host path must not run eagerly —
+    eager dispatch is pathological on remote TPU backends)."""
+    return _dense_poses_jit(shapes)(params, data)
+
+
 def dense_poses(params, data: WindowData, shapes: WindowShapes):
     """Control chain -> dense pose table (updateTrajDenseTforms,
     ContinuousTrajectory.h:189-226).
@@ -145,7 +158,11 @@ def make_forward(shapes: WindowShapes, use_imu: bool):
             extra = jnp.zeros((0,), dtype=params.dtype)
         return ForwardOut(points=points, mask=mask, ring_ids=rings, obs_weight=None, extra=extra)
 
-    return forward
+    import jax
+
+    # jitted so direct per-scan host calls don't run eagerly; inlines
+    # cleanly when traced inside the optimizer's jit
+    return jax.jit(forward)
 
 
 def imu_residuals(chain, gp, d_transl, data: WindowData, shapes: WindowShapes):
@@ -181,6 +198,17 @@ def imu_residuals(chain, gp, d_transl, data: WindowData, shapes: WindowShapes):
     combined = jnp.concatenate([rot_error, vel_error, pos_error], axis=1)  # [C-1, 9]
     quad = jnp.einsum("ki,kij,kj->k", combined, data.cov_inv, combined)
     return jnp.sqrt(jnp.abs(quad * data.balancing_imu) + 1e-30)
+
+
+@lru_cache(maxsize=None)
+def _preint_factors_jit(shapes: WindowShapes):
+    import jax
+
+    return jax.jit(lambda g, a, dt, cg, ca: compute_preint_factors(g, a, dt, cg, ca, shapes))
+
+
+def compute_preint_factors_jit(gyr_dense, acc_dense, dt, cov_gyr, cov_acc, shapes: WindowShapes):
+    return _preint_factors_jit(shapes)(gyr_dense, acc_dense, dt, cov_gyr, cov_acc)
 
 
 def compute_preint_factors(gyr_dense, acc_dense, dt, cov_gyr, cov_acc, shapes: WindowShapes):
@@ -225,11 +253,48 @@ def register_tform_indices(rel_stamps, dt, n_dense):
     return jnp.clip(idx, 0, n_dense - 1)
 
 
+@lru_cache(maxsize=None)
+def _initial_guess_jit(use_imu: bool, last_known: int, n_ctrl: int):
+    import jax
+    from functools import partial
+
+    return jax.jit(
+        partial(
+            _initial_guess_impl,
+            use_imu=use_imu,
+            last_known=last_known,
+            n_ctrl=n_ctrl,
+        )
+    )
+
+
 def initial_guess(
-    old_gp: cp.GlobalPoses,
+    old_gp,
     old_stamps,
     old_t0: float,
     new_t0: float,
+    new_ctrl_stamps,
+    preint_factors,
+    delta_t_ctrl,
+    gravity,
+    use_imu: bool,
+    last_known: int,
+    n_ctrl: int,
+):
+    """jit-dispatching wrapper of the window initial guess (see
+    _initial_guess_impl)."""
+    import jax.numpy as _jnp
+
+    shift = _jnp.asarray(new_t0 - old_t0, dtype=old_stamps.dtype)
+    return _initial_guess_jit(use_imu, last_known, n_ctrl)(
+        old_gp, old_stamps, shift, new_ctrl_stamps, preint_factors, delta_t_ctrl, gravity
+    )
+
+
+def _initial_guess_impl(
+    old_gp: cp.GlobalPoses,
+    old_stamps,
+    shift,
     new_ctrl_stamps,
     preint_factors,
     delta_t_ctrl,
@@ -244,11 +309,11 @@ def initial_guess(
     slerp + barycentric interpolation of the old control poses; the terminal
     velocity from the barycentric derivative; remaining poses from IMU
     dead-reckoning (closed form over preint factors) or constant-velocity
-    extrapolation.  `last_known` is computed by the caller on host.
+    extrapolation.  `last_known` is computed by the caller on host;
+    `shift` = new_t0 - old_t0.
 
-    Returns (anchor PoseChain row 0, params vector) as a full PoseChain.
+    Returns the full PoseChain (anchor row 0 + relative poses).
     """
-    shift = new_t0 - old_t0
     t_query = new_ctrl_stamps[: last_known + 1] + shift
     pref_orient = interp.interp_rotations(t_query, old_stamps, old_gp.orient)
     pref_transl = interp.barycentric_interp(t_query, old_stamps, old_gp.transl, d=2)
