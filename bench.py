@@ -19,7 +19,7 @@ import numpy as np
 def main():
     from dmsa_lidar_slam_tpu.config import Config
     from dmsa_lidar_slam_tpu.io.synthetic import SyntheticSequence, ate_rmse
-    from dmsa_lidar_slam_tpu.pipeline.slam import DmsaSlam
+    from dmsa_lidar_slam_tpu.pipeline.fused import FusedDmsaSlam
 
     cfg = Config(
         n_clouds=5,
@@ -41,7 +41,7 @@ def main():
         keyframe_points_cap=8192,
         raw_scan_cap=32768,
     )
-    slam = DmsaSlam(cfg)
+    slam = FusedDmsaSlam(cfg, flush_every=20)
     seq = SyntheticSequence(rng=np.random.default_rng(3), noise_std=0.01)
 
     sweep = seq.sweep
@@ -66,13 +66,15 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_warm, n_warm + n_bench):
         t_imu = feed(i, t_imu)
+    _ = slam.kf_count  # drain the async dispatch queue
     wall = time.perf_counter() - t0
 
     data_time = n_bench * sweep
     ratio = data_time / wall
 
-    n = slam.kf_map.count
-    rmse = ate_rmse(slam.kf_map.stamps[:n], slam.kf_map.transl_w[:n], seq) if n >= 2 else None
+    n = slam.kf_count
+    stamps, transl, _ = slam.keyframe_poses()
+    rmse = ate_rmse(stamps, transl, seq) if n >= 3 and len(stamps) == n else None
 
     result = {
         "metric": "realtime_ratio",

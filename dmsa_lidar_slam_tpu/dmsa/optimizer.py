@@ -104,13 +104,20 @@ def optimize(
     data: Any,
     settings: OptimSettings,
     min_grid_size=0.3,
+    step_length=None,
+    max_step=None,
 ) -> OptimResult:
     """Run the DMSA optimization (jit; forward_fn and settings are static).
 
-    Centralization (ContinuousTrajectory.h:75-100) is handled by the caller
-    around this function — it rewrites the data pytree, not the params.
+    step_length / max_step optionally override the static settings with
+    TRACED scalars (one compiled graph serves e.g. the IMU / no-IMU gain
+    pairs, DmsaSlam.h:455-466).  Centralization
+    (ContinuousTrajectory.h:75-100) is handled by the caller around this
+    function — it rewrites the data pytree, not the params.
     """
     num_params = params0.shape[0]
+    step_length = settings.step_length_optim if step_length is None else step_length
+    max_step_v = settings.max_step if max_step is None else max_step
 
     def residuals(params, cells_list, data):
         out = forward_fn(params, data)
@@ -148,7 +155,7 @@ def optimize(
         H = J.T @ J
         H = H + settings.lambda_diag * jnp.eye(num_params, dtype=H.dtype)
         g = J.T @ e0
-        step = -settings.step_length_optim * jnp.linalg.solve(H, g)
+        step = -step_length * jnp.linalg.solve(H, g)
 
         nan_step = jnp.any(jnp.isnan(step))
         step = jnp.where(nan_step, jnp.zeros_like(step), step)
@@ -156,8 +163,8 @@ def optimize(
         # infinity-norm clip (DmsaOptimizer.h:125-128)
         max_elem = jnp.max(jnp.abs(step))
         step = jnp.where(
-            max_elem > settings.max_step,
-            (settings.max_step / jnp.maximum(max_elem, 1e-30)) * step,
+            max_elem > max_step_v,
+            (max_step_v / jnp.maximum(max_elem, 1e-30)) * step,
             step,
         )
 

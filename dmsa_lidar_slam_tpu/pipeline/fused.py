@@ -1,0 +1,803 @@
+"""Fused device-resident SLAM pipeline: one jit step per scan, zero
+steady-state downloads.
+
+Remote TPU attachment makes host<->device round trips the dominant cost
+(hundreds of ms each through the tunnel), so unlike the host-orchestrated
+pipeline (pipeline.slam, which mirrors the reference's control flow 1:1),
+this pipeline keeps ALL estimator state on device:
+
+  - the preprocessed scan ring buffer,
+  - the keyframe map (map.device_map),
+  - the previous window's control poses,
+  - a per-scan event ledger ring (keyframe / non-keyframe / retirement
+    records), downloaded in one batched transfer every `flush_every` scans.
+
+Per scan the host does exactly: (1) pack the raw scan + resampled IMU +
+scalars into ONE f32 upload, (2) dispatch the fused step.  All control flow
+(buffer-full gate, map init, keyframe decision, submap optimization) runs
+under lax.cond inside the step.
+
+Capability parity with pipeline.slam / the reference's processPointCloud
+(DmsaSlam.h:116-204) — divergences:
+  - the window time span comes from raw-scan stamp extremes (host-known)
+    instead of post-preprocessing extremes (a few ms of horizon slack),
+  - event stamps are attached host-side (the host knows each scan's t0).
+"""
+
+import dataclasses
+import logging
+from functools import partial
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dmsa_lidar_slam_tpu.config import Config
+from dmsa_lidar_slam_tpu.core import poses as cp
+from dmsa_lidar_slam_tpu.core import rotations as rot
+from dmsa_lidar_slam_tpu.dmsa import optimizer as opt
+from dmsa_lidar_slam_tpu.imu.buffer import ImuBuffer
+from dmsa_lidar_slam_tpu.map import device_map as dmap
+from dmsa_lidar_slam_tpu.map import keyframes as kfm
+from dmsa_lidar_slam_tpu.map import normals as nrm
+from dmsa_lidar_slam_tpu.map import static_points as sp
+from dmsa_lidar_slam_tpu.ops import voxel
+from dmsa_lidar_slam_tpu.pipeline import preprocess as pp
+from dmsa_lidar_slam_tpu.pipeline.metrics import Metrics
+from dmsa_lidar_slam_tpu.pipeline.output import OutputManager
+from dmsa_lidar_slam_tpu.trajectory import continuous as ct
+from dmsa_lidar_slam_tpu.trajectory.device_guess import traced_initial_guess
+from dmsa_lidar_slam_tpu.utils.dtypes import pose_dtype
+
+log = logging.getLogger("dmsa_fused")
+
+# event record layout (f32): [type, pose(6), related_kf, retired_flag,
+# retired_pose(6), overlap, stop_reason, num_gauss, n_kept, grid, grav_ok,
+# gravity_est(3)] -> width 24
+EV_WIDTH = 24
+EV_NONE, EV_INIT_KF, EV_KEYFRAME, EV_NONKEYFRAME = 0.0, 1.0, 2.0, 3.0
+
+
+class FusedState(NamedTuple):
+    # scan ring buffer (slot 0 = oldest of the window)
+    scan_pts: jnp.ndarray  # [S, cap, 3] f32 IMU frame
+    scan_mask: jnp.ndarray  # [S, cap]
+    scan_rings: jnp.ndarray  # [S, cap] i32
+    scan_rel_stamps: jnp.ndarray  # [S, cap] f32, rel to own scan t0
+    scan_grid: jnp.ndarray  # [S] f32
+    num_scans: jnp.ndarray  # [] i32
+    # keyframe map
+    kf: dmap.DeviceMapState
+    # previous window
+    ow_orient: jnp.ndarray  # [C, 3]
+    ow_transl: jnp.ndarray  # [C, 3]
+    ow_stamps: jnp.ndarray  # [C]
+    ow_horizon: jnp.ndarray  # []
+    submap_initialized: jnp.ndarray  # [] bool
+    # event ledger (1 row per processed scan, ring over flush window)
+    events: jnp.ndarray  # [EV_CAP, EV_WIDTH] f32
+    ev_index: jnp.ndarray  # [] i32 (monotonic scan counter)
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedShapes:
+    n_clouds: int
+    scan_cap: int
+    raw_cap: int
+    n_static: int
+    n_ctrl: int
+    n_dense: int
+    kf_cap: int
+    kf_pts_cap: int
+    n_candidates: int
+    ev_cap: int
+
+    def __post_init__(self):
+        assert self.n_clouds <= 6, "pack layout carries scan_t0_rel in one row"
+
+    @property
+    def pack_rows(self) -> int:
+        return self.raw_cap + self.n_dense + 3
+
+    @property
+    def window(self) -> ct.WindowShapes:
+        return ct.WindowShapes(
+            n_window_pts=self.n_clouds * self.scan_cap,
+            n_static=self.n_static,
+            n_ctrl=self.n_ctrl,
+            n_dense=self.n_dense,
+        )
+
+    @property
+    def map(self) -> kfm.MapShapes:
+        return kfm.MapShapes(n_keyframes=self.kf_cap, n_pts_per_kf=self.kf_pts_cap)
+
+
+def empty_state(shapes: FusedShapes) -> FusedState:
+    pdt = pose_dtype()
+    S, cap, C = shapes.n_clouds, shapes.scan_cap, shapes.n_ctrl
+    return FusedState(
+        scan_pts=jnp.zeros((S, cap, 3), jnp.float32),
+        scan_mask=jnp.zeros((S, cap), bool),
+        scan_rings=jnp.zeros((S, cap), jnp.int32),
+        scan_rel_stamps=jnp.zeros((S, cap), jnp.float32),
+        scan_grid=jnp.full((S,), 0.4, jnp.float32),
+        num_scans=jnp.asarray(0, jnp.int32),
+        kf=dmap.empty_state(shapes.map, pdt),
+        ow_orient=jnp.zeros((C, 3), pdt),
+        ow_transl=jnp.zeros((C, 3), pdt),
+        ow_stamps=jnp.zeros((C,), pdt),
+        ow_horizon=jnp.asarray(0.0, pdt),
+        submap_initialized=jnp.asarray(False),
+        events=jnp.zeros((shapes.ev_cap, EV_WIDTH), jnp.float32),
+        ev_index=jnp.asarray(0, jnp.int32),
+    )
+
+
+class StepScalars(NamedTuple):
+    """Per-scan traced scalars (small pytree upload)."""
+
+    dt: jnp.ndarray  # [] window dense grid step
+    horizon: jnp.ndarray  # []
+    scan_t0_rel: jnp.ndarray  # [S] scan t0 offsets relative to window t0
+    use_imu: jnp.ndarray  # [] bool
+    step_length: jnp.ndarray  # [] window optimizer gain (imu/no-imu)
+    max_step: jnp.ndarray  # []
+    balancing_imu: jnp.ndarray  # []
+    key: jnp.ndarray  # PRNG key
+
+
+def make_step(config: Config, shapes: FusedShapes):
+    """Build the fused per-scan step function (jit, donated state)."""
+    c = config
+    pdt = pose_dtype()
+    wshapes = shapes.window
+    mshapes = shapes.map
+    C = shapes.n_ctrl
+
+    fwd_imu = ct.make_forward(wshapes, use_imu=True)
+    T = c.lidar_to_imu_tform
+    R_l2i = jnp.asarray(T[:3, :3], jnp.float32)
+    t_l2i = jnp.asarray(T[:3, 3], jnp.float32)
+    gravity = jnp.asarray(ct.GRAVITY_W, pdt)
+    cov_gyr = jnp.asarray(c.cov_gyr, pdt)
+    cov_acc = jnp.asarray(c.cov_acc, pdt)
+    cov_grav_inv = jnp.asarray(np.linalg.inv(kfm.STD_DEV_ACC**2 * np.eye(3)), pdt)
+    odom_cov_inv = jnp.asarray(np.linalg.inv(kfm.ODOM_STD**2 * np.eye(3)), pdt)
+
+    settings_window = opt.OptimSettings(
+        num_iter=c.num_iter_sliding_window_optim,
+        min_num_points_per_set=c.min_num_points_gauss,
+        step_length_optim=c.alpha_sliding_window_no_imu,
+        max_step=c.max_step_sliding_window_no_imu,
+    )
+    settings_map = opt.OptimSettings(
+        num_iter=c.num_iter_keyframe_optim,
+        min_num_points_per_set=c.min_num_points_gauss_key,
+        step_length_optim=c.alpha_keyframe_optim,
+        max_step=0.01,
+        epsilon=c.epsilon_keyframe_opt,
+        use_centralization=False,
+    )
+    use_grav_terms = c.use_gravity_term_in_keyframe_opt and c.use_imu
+    kf_fwd = kfm.make_forward(
+        mshapes, use_grav_terms, c.use_odometry_term_in_keyframe_opt, True
+    )
+
+    def preint_all(gyr_dense, acc_dense, dt, use_imu):
+        pr_rot, pr_vel, pr_pos, cov_inv, pr_full = ct.compute_preint_factors(
+            gyr_dense, acc_dense, dt, cov_gyr, cov_acc, wshapes
+        )
+        eye9 = jnp.broadcast_to(jnp.eye(9, dtype=pdt), cov_inv.shape)
+        cov_inv = jnp.where(use_imu, cov_inv, eye9)
+        return pr_rot, pr_vel, pr_pos, cov_inv, pr_full
+
+    def assemble_window(state: FusedState, sc: StepScalars, acc_dense, gyr_dense):
+        """Scan buffer -> WindowData (static slots empty)."""
+        rel = state.scan_rel_stamps + sc.scan_t0_rel[:, None]  # [S,cap]
+        pts = state.scan_pts.reshape(-1, 3)
+        mask = state.scan_mask.reshape(-1)
+        rings = state.scan_rings.reshape(-1)
+        rel_f = rel.reshape(-1)
+        tform_idx = jnp.clip(
+            jnp.ceil(rel_f / sc.dt.astype(jnp.float32) - 1e-6).astype(jnp.int32),
+            0,
+            shapes.n_dense - 1,
+        )
+        ctrl_stamps = ct.ctrl_stamps_from_dt(sc.dt, wshapes)
+        pr_rot, pr_vel, pr_pos, cov_inv, pr_full = preint_all(
+            gyr_dense, acc_dense, sc.dt, sc.use_imu
+        )
+        ns = shapes.n_static
+        return ct.WindowData(
+            local_pts=pts,
+            pt_mask=mask,
+            pt_ring=rings,
+            pt_tform_idx=tform_idx,
+            static_pts=jnp.zeros((ns, 3), jnp.float32),
+            static_mask=jnp.zeros(ns, bool),
+            static_ring=jnp.zeros(ns, jnp.int32),
+            anchor_orient=jnp.zeros(3, pdt),
+            anchor_transl=jnp.zeros(3, pdt),
+            ctrl_stamps=ctrl_stamps,
+            dt=sc.dt,
+            horizon=sc.horizon,
+            acc_dense=acc_dense,
+            gyr_dense=gyr_dense,
+            gravity=gravity,
+            preint_rot=pr_rot,
+            preint_vel=pr_vel,
+            preint_pos=pr_pos,
+            cov_inv=cov_inv,
+            preint_pos_full=pr_full,
+            balancing_imu=sc.balancing_imu,
+        )
+
+    def gravity_estimate(params, data, use_imu):
+        _, gp, _, d_t = ct.dense_poses(params, data, wshapes)
+        grav = ct.submap_gravity_estimate(gp, d_t, data, wshapes)
+        plaus = (
+            jnp.abs(jnp.linalg.norm(grav) - jnp.linalg.norm(gravity))
+            < c.gravity_outlier_thresh
+        ) & use_imu
+        return jnp.where(use_imu, grav, jnp.zeros_like(grav)), plaus
+
+    def make_keyframe_cloud(points_w, mask, rings, anchor_o, anchor_t, min_grid, key):
+        """Downsample window cloud, transform to keyframe-local, normals
+        (addNewKeyframeToMap, DmsaSlam.h:500-532)."""
+        keep = voxel.random_downsample_mask(points_w, mask, min_grid, key)
+        idx, out_mask = voxel.compact(keep, mshapes.n_pts_per_kf)
+        pts_w_c = points_w[idx]
+        rings_out = jnp.where(out_mask, rings[idx], 0)
+        R_inv = rot.axang2rotm(anchor_o).T.astype(jnp.float32)
+        pts_local = (pts_w_c - anchor_t.astype(jnp.float32)[None, :]) @ R_inv.T
+        pts_local = jnp.where(out_mask[:, None], pts_local, 0.0)
+        normals = nrm.estimate_normals(pts_local, out_mask, min_grid)
+        return pts_local, normals, rings_out, out_mask, jnp.sum(keep)
+
+    def window_step(state: FusedState, sc: StepScalars, acc_dense, gyr_dense, scan_t0_abs_rel):
+        """The full per-window pipeline (buffer is full)."""
+        data = assemble_window(state, sc, acc_dense, gyr_dense)
+        min_grid = jnp.min(state.scan_grid)
+        k1, k2, k3 = jax.random.split(sc.key, 3)
+
+        # ---- initial guess ------------------------------------------------
+        def first_window(_):
+            anchor_o = jnp.where(
+                sc.use_imu,
+                ct.init_gravity_anchor_orientation(data.acc_dense[0], gravity),
+                jnp.zeros(3, pdt),
+            )
+            chain = cp.PoseChain(
+                orient=jnp.concatenate([anchor_o[None], jnp.zeros((C - 1, 3), pdt)]),
+                transl=jnp.zeros((C, 3), pdt),
+            )
+            return chain
+
+        def subsequent(_):
+            return traced_initial_guess(
+                state.ow_orient,
+                state.ow_transl,
+                state.ow_stamps,
+                scan_t0_abs_rel,  # new window t0 - old window t0
+                state.ow_horizon,
+                data.ctrl_stamps,
+                data.preint_rot,
+                data.preint_vel,
+                data.preint_pos,
+                data.ctrl_stamps[1:] - data.ctrl_stamps[:-1],
+                gravity,
+                sc.use_imu,
+            )
+
+        chain0 = jax.lax.cond(state.submap_initialized, subsequent, first_window, None)
+        data = data._replace(anchor_orient=chain0.orient[0], anchor_transl=chain0.transl[0])
+        params0 = cp.params_from_chain(chain0)
+
+        # ---- map init (first full window) --------------------------------
+        def fit_rows(arr, target):
+            """Pad-or-truncate leading axis to `target` rows."""
+            n = arr.shape[0]
+            if n == target:
+                return arr
+            if n > target:
+                return arr[:target]
+            pad = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
+            return jnp.pad(arr, pad)
+
+        def init_map(args):
+            state, data, params0 = args
+            P = mshapes.n_pts_per_kf
+            pts0 = fit_rows(state.scan_pts[0], P)
+            mask0 = fit_rows(state.scan_mask[0], P)
+            rings0 = fit_rows(state.scan_rings[0], P)
+            normals0 = nrm.estimate_normals(pts0, mask0, state.scan_grid[0])
+            grav, plaus = gravity_estimate(params0, data, sc.use_imu)
+            kf_new, *_ = dmap.add_keyframe(
+                state.kf,
+                data.anchor_transl,
+                data.anchor_orient,
+                jnp.asarray(0.0, jnp.float64),
+                pts0,
+                normals0,
+                rings0,
+                mask0,
+                state.scan_grid[0],
+                grav,
+                plaus,
+            )
+            ev = jnp.zeros(EV_WIDTH, jnp.float32)
+            ev = ev.at[0].set(EV_INIT_KF)
+            ev = ev.at[1:4].set(data.anchor_orient.astype(jnp.float32))
+            ev = ev.at[4:7].set(data.anchor_transl.astype(jnp.float32))
+            ev = ev.at[19].set(jnp.sum(mask0).astype(jnp.float32))
+            ev = ev.at[20].set(state.scan_grid[0])
+            state = state._replace(kf=kf_new)
+            state = store_old_window(state, params0, data)
+            return state._replace(submap_initialized=jnp.asarray(True)), ev
+
+        # ---- main branch ---------------------------------------------------
+        def main_window(args):
+            state, data, params0 = args
+            curr_pos = data.anchor_transl
+
+            # static points (addStaticPoints, DmsaSlam.h:264-358)
+            cand_ids, cand_valid = dmap.closest_candidates(
+                state.kf,
+                curr_pos,
+                shapes.n_candidates,
+                c.dist_static_points_keyframe,
+            )
+            kf_pts, kf_nrm, kf_rings, kf_mask = dmap.candidate_clouds(
+                state.kf, cand_ids, cand_valid
+            )
+            out0 = fwd_imu(params0, data)
+            nw = wshapes.n_window_pts
+            sel = sp.select_static_points(
+                out0.points[:nw],
+                out0.mask[:nw],
+                kf_pts,
+                kf_nrm,
+                kf_rings,
+                kf_mask,
+                curr_pos.astype(jnp.float32),
+                min_grid,
+                k1,
+                shapes.n_static,
+            )
+            data = data._replace(
+                static_pts=sel.static_pts,
+                static_mask=sel.static_mask,
+                static_ring=sel.static_ring,
+            )
+            max_overlap_slot = jnp.argmax(sel.overlap_counts)
+            max_overlap_kf = cand_ids[max_overlap_slot]
+            has_sel = sel.overlap_counts > 0
+            min_related = jnp.min(jnp.where(has_sel, cand_ids, jnp.iinfo(jnp.int32).max))
+            min_related = jnp.where(jnp.any(has_sel), min_related, -1)
+
+            # sliding-window optimization (centralized)
+            cdata, origin = ct.centralize(data)
+            result = opt.optimize(
+                fwd_imu,
+                params0,
+                cdata,
+                settings_window,
+                min_grid,
+                step_length=sc.step_length,
+                max_step=sc.max_step,
+            )
+            data = ct.decentralize(cdata, origin)
+            params_opt = result.params
+            data_nostat = data._replace(static_mask=jnp.zeros_like(data.static_mask))
+
+            # keyframe decision (DmsaSlam.h:170-201)
+            last_kf_pos = state.kf.transl_w[jnp.maximum(state.kf.count - 1, 0)]
+            dist = jnp.linalg.norm(curr_pos - last_kf_pos)
+            new_kf = (sel.overlap_fraction < c.min_overlap_new_keyframe) | (
+                dist > c.dist_new_keyframe
+            )
+            min_related_adj = jnp.where(
+                state.kf.count >= shapes.kf_cap, min_related - 1, min_related
+            )
+
+            def keyframe_branch(args):
+                state, data, params_opt = args
+                out = fwd_imu(params_opt, data)
+                pts_local, normals, rings_out, out_mask, n_kept = make_keyframe_cloud(
+                    out.points[:nw],
+                    out.mask[:nw],
+                    out.ring_ids[:nw],
+                    data.anchor_orient,
+                    data.anchor_transl,
+                    min_grid,
+                    k2,
+                )
+                grav, plaus = gravity_estimate(params_opt, data, sc.use_imu)
+                kf_new, ret_o, ret_t, ret_stamp, retired = dmap.add_keyframe(
+                    state.kf,
+                    data.anchor_transl,
+                    data.anchor_orient,
+                    jnp.asarray(0.0, jnp.float64),
+                    pts_local,
+                    normals,
+                    rings_out,
+                    out_mask,
+                    min_grid,
+                    grav,
+                    plaus,
+                )
+                state = state._replace(kf=kf_new)
+
+                # submap keyframe optimization (keyframeOptimization,
+                # DmsaSlam.h:212-238)
+                def do_submap(state):
+                    from_id = jnp.maximum(min_related_adj, 0)
+                    sdata, sparams = dmap.submap_view(
+                        state.kf,
+                        from_id,
+                        jnp.asarray(c.balancing_factor_gravity, pdt),
+                        jnp.asarray(c.balancing_factor_odometry, pdt),
+                        cov_grav_inv,
+                        odom_cov_inv,
+                        odom_cov_inv,
+                        gravity,
+                    )
+                    smin_grid = dmap.min_grid_from(state.kf, from_id)
+                    sres = opt.optimize(kf_fwd, sparams, sdata, settings_map, smin_grid)
+                    kf2 = dmap.write_back(state.kf, from_id, sres.params)
+                    return state._replace(kf=kf2)
+
+                run_submap = (
+                    jnp.asarray(c.optimize_sliding_window_keyframes)
+                    & (min_related_adj >= 0)
+                    & (state.kf.count >= 3)
+                )
+                state = jax.lax.cond(run_submap, do_submap, lambda s: s, state)
+
+                # re-anchor the current trajectory at the (possibly
+                # submap-corrected) last keyframe pose (DmsaSlam.h:233-237)
+                last = jnp.maximum(state.kf.count - 1, 0)
+                data = data._replace(
+                    anchor_orient=state.kf.orient_w[last],
+                    anchor_transl=state.kf.transl_w[last],
+                )
+
+                ev = jnp.zeros(EV_WIDTH, jnp.float32)
+                ev = ev.at[0].set(EV_KEYFRAME)
+                ev = ev.at[1:4].set(data.anchor_orient.astype(jnp.float32))
+                ev = ev.at[4:7].set(data.anchor_transl.astype(jnp.float32))
+                ev = ev.at[8].set(retired.astype(jnp.float32))
+                ev = ev.at[9:12].set(ret_o.astype(jnp.float32))
+                ev = ev.at[12:15].set(ret_t.astype(jnp.float32))
+                ev = ev.at[19].set(n_kept.astype(jnp.float32))
+                ev = ev.at[22].set(plaus.astype(jnp.float32))
+                return state, data, params_opt, ev
+
+            def nonkeyframe_branch(args):
+                state, data, params_opt = args
+                kf_o = state.kf.orient_w[max_overlap_kf]
+                kf_t = state.kf.transl_w[max_overlap_kf]
+                R_kf = rot.axang2rotm(kf_o)
+                rel_t = R_kf.T @ (curr_pos - kf_t)
+                rel_R = R_kf.T @ rot.axang2rotm(data.anchor_orient)
+                rel_o = rot.rotm2axang(rel_R)
+                ev = jnp.zeros(EV_WIDTH, jnp.float32)
+                ev = ev.at[0].set(EV_NONKEYFRAME)
+                ev = ev.at[1:4].set(rel_o.astype(jnp.float32))
+                ev = ev.at[4:7].set(rel_t.astype(jnp.float32))
+                ev = ev.at[7].set(max_overlap_kf.astype(jnp.float32))
+                return state, data, params_opt, ev
+
+            state, data_o, params_o, ev = jax.lax.cond(
+                new_kf, keyframe_branch, nonkeyframe_branch, (state, data_nostat, params_opt)
+            )
+
+            state = store_old_window(state, params_o, data_o)
+            ev = ev.at[15].set(sel.overlap_fraction.astype(jnp.float32))
+            ev = ev.at[16].set(result.stop_reason.astype(jnp.float32))
+            ev = ev.at[17].set(result.num_gaussians.astype(jnp.float32))
+            ev = ev.at[18].set(sel.num_active.astype(jnp.float32))
+            ev = ev.at[20].set(min_grid)
+            return state, ev
+
+        return jax.lax.cond(
+            state.kf.count > 0, main_window, init_map, (state, data, params0)
+        )
+
+    def store_old_window(state: FusedState, params, data):
+        _, gp, _, _ = ct.dense_poses(params, data, wshapes)
+        return state._replace(
+            ow_orient=gp.orient,
+            ow_transl=gp.transl,
+            ow_stamps=data.ctrl_stamps,
+            ow_horizon=data.horizon,
+        )
+
+    def step(state: FusedState, pack):
+        """ONE packed f32 upload per scan: [raw_cap + n_dense + 2, 6].
+
+        rows [0, raw_cap):              x, y, z, rel_stamp, ring, mask
+        rows [raw_cap, raw_cap+D):      acc(3), gyr(3) on the dense grid
+        row  raw_cap+D:                 dt, horizon, use_imu, step_length,
+                                        max_step, balancing_imu
+        row  raw_cap+D+1:               scan_t0_rel[:n_clouds] (pad 0)
+        row  raw_cap+D+2 (if present):  shift_t0, prng_seed
+        """
+        rc, D, S = shapes.raw_cap, shapes.n_dense, shapes.n_clouds
+        raw = pack[:rc]
+        imu_rows = pack[rc : rc + D]
+        srow = pack[rc + D]
+        trow = pack[rc + D + 1]
+        xrow = pack[rc + D + 2]
+
+        acc_dense = imu_rows[:, :3].astype(pdt)
+        gyr_dense = imu_rows[:, 3:].astype(pdt)
+        sc = StepScalars(
+            dt=srow[0].astype(pdt),
+            horizon=srow[1].astype(pdt),
+            scan_t0_rel=trow[:S],
+            use_imu=srow[2] > 0.5,
+            step_length=srow[3].astype(pdt),
+            max_step=srow[4].astype(pdt),
+            balancing_imu=srow[5].astype(pdt),
+            key=jax.random.PRNGKey(xrow[1].astype(jnp.int32)),
+        )
+        shift_t0 = xrow[0].astype(pdt)
+
+        raw_pts = raw[:, :3]
+        raw_rel = raw[:, 3]
+        raw_rings = raw[:, 4].astype(jnp.int32)
+        raw_mask = raw[:, 5] > 0.5
+
+        res = pp.preprocess_scan(
+            raw_pts,
+            raw_mask,
+            jax.random.fold_in(sc.key, 917),
+            R_l2i,
+            t_l2i,
+            c.max_num_points_per_scan,
+            c.min_dist_ds,
+            c.min_dist,
+            shapes.scan_cap,
+        )
+        new_pts = pp.transform_to_imu(raw_pts[res.indices], R_l2i, t_l2i)
+        new_pts = jnp.where(res.mask[:, None], new_pts, 0.0)
+        new_rel = jnp.where(res.mask, raw_rel[res.indices], 0.0)
+        new_rings = jnp.where(res.mask, raw_rings[res.indices], 0)
+
+        # push into the ring buffer (shift when full)
+        full = state.num_scans >= shapes.n_clouds
+
+        def shift(x):
+            return jnp.where(full, jnp.roll(x, -1, axis=0), x)
+
+        slot = jnp.where(full, shapes.n_clouds - 1, state.num_scans)
+        state = state._replace(
+            scan_pts=shift(state.scan_pts).at[slot].set(new_pts),
+            scan_mask=shift(state.scan_mask).at[slot].set(res.mask),
+            scan_rings=shift(state.scan_rings).at[slot].set(new_rings),
+            scan_rel_stamps=shift(state.scan_rel_stamps).at[slot].set(new_rel),
+            scan_grid=shift(state.scan_grid).at[slot].set(res.grid_size),
+            num_scans=jnp.minimum(state.num_scans + 1, shapes.n_clouds),
+        )
+
+        ready = state.num_scans >= shapes.n_clouds
+
+        def run(args):
+            return window_step(*args)
+
+        def skip(args):
+            state = args[0]
+            ev = jnp.zeros(EV_WIDTH, jnp.float32)
+            ev = ev.at[19].set(res.num_kept.astype(jnp.float32))
+            ev = ev.at[20].set(res.grid_size)
+            return state, ev
+
+        state, ev = jax.lax.cond(ready, run, skip, (state, sc, acc_dense, gyr_dense, shift_t0))
+        slot_ev = state.ev_index % shapes.ev_cap
+        state = state._replace(
+            events=state.events.at[slot_ev].set(ev), ev_index=state.ev_index + 1
+        )
+        return state
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+class FusedDmsaSlam:
+    """Host wrapper: same public API as pipeline.slam.DmsaSlam, one upload +
+    one dispatch per scan, batched event download every `flush_every`."""
+
+    def __init__(self, config: Optional[Config] = None, flush_every: int = 16):
+        self.config = config or Config()
+        c = self.config
+        self.shapes = FusedShapes(
+            n_clouds=c.n_clouds,
+            scan_cap=2 * c.max_num_points_per_scan,
+            raw_cap=c.raw_scan_cap,
+            n_static=c.static_points_cap,
+            n_ctrl=c.num_control_poses,
+            n_dense=c.n_dense,
+            kf_cap=c.last_n_keyframes_for_optim,
+            kf_pts_cap=c.keyframe_points_cap,
+            n_candidates=c.closest_k_keyframes_as_static_points,
+            ev_cap=max(flush_every, 16),
+        )
+        self.flush_every = min(flush_every, self.shapes.ev_cap)
+        self.step = make_step(c, self.shapes)
+        self.state = empty_state(self.shapes)
+        self.imu_buffer = ImuBuffer()
+        self.output = OutputManager()
+        self.metrics = Metrics()
+
+        self.time_initialized = False
+        self.received_imu = False
+        self.buffered_scan = None
+        self.scan_counter = 0  # scans dispatched to the device
+        self._flushed_upto = 0
+        self._scan_minmax: List = []  # (min, max) raw stamps, window ring
+        self._window_t0_history: List[float] = []  # per dispatched scan
+        self._prev_window_t0: Optional[float] = None
+        self._kf_stamp_queue: List[float] = []  # active keyframe stamps
+        self._imu_disabled_logged = False
+
+    # ------------------------------------------------------------------ API
+    def process_imu(self, acc, gyr, stamp: float):
+        if not self.time_initialized:
+            return
+        self.received_imu = True
+        acc = np.array(acc, float)
+        if self.config.acceleration_in_g:
+            acc = acc * 9.81
+        self.imu_buffer.add_measurement(acc, gyr, stamp + self.config.timeshift_to_imu)
+
+    def process_scan(self, points: np.ndarray, stamps: np.ndarray, rings: np.ndarray):
+        c = self.config
+        if not self.time_initialized:
+            self.metrics.start_clock(float(stamps.min()))
+            self.time_initialized = True
+        if self.buffered_scan is None:
+            self.buffered_scan = (points, stamps, rings)
+            return
+        to_process, self.buffered_scan = self.buffered_scan, (points, stamps, rings)
+        points, stamps, rings = to_process
+
+        with self.metrics.stage("dispatch"):
+            self._dispatch(points, stamps, rings)
+        self.scan_counter += 1
+        if self.scan_counter - self._flushed_upto >= self.flush_every:
+            with self.metrics.stage("flush"):
+                self._flush_events()
+
+    def _dispatch(self, points, stamps, rings):
+        c = self.config
+        sh = self.shapes
+        n = min(len(points), sh.raw_cap)
+        if len(points) > sh.raw_cap:
+            log.warning("raw scan truncated: %d > %d", len(points), sh.raw_cap)
+
+        scan_t0 = float(stamps[:n].min())
+        scan_t1 = float(stamps[:n].max())
+        self._scan_minmax.append((scan_t0, scan_t1))
+        if len(self._scan_minmax) > sh.n_clouds:
+            self._scan_minmax.pop(0)
+
+        # window timing once the buffer will be full after this scan
+        mins = [a for a, _ in self._scan_minmax]
+        maxs = [b for _, b in self._scan_minmax]
+        t0_w = min(mins)
+        horizon = max(maxs) - t0_w + 1e-3
+        dt = horizon / (sh.n_dense - 1)
+        shift_t0 = 0.0 if self._prev_window_t0 is None else t0_w - self._prev_window_t0
+        self._prev_window_t0 = t0_w
+        self._window_t0_history.append(t0_w)
+
+        use_imu_now = c.use_imu and self.received_imu
+        if (
+            self.scan_counter == 0
+            and c.use_imu
+            and not self.received_imu
+            and not self._imu_disabled_logged
+        ):
+            log.warning("no IMU before initialization; disabling IMU")
+            self._imu_disabled_logged = True
+            c.use_imu = False
+            use_imu_now = False
+
+        if use_imu_now and self.imu_buffer.num_updates > 0:
+            dense_t = t0_w + np.arange(sh.n_dense) * dt
+            acc_d, gyr_d, timediff = self.imu_buffer.resample_nearest(dense_t)
+            if timediff > 0.1:
+                log.warning("traj-to-IMU timediff %.3f s", timediff)
+        else:
+            use_imu_now = False
+            acc_d = np.zeros((sh.n_dense, 3))
+            gyr_d = np.zeros((sh.n_dense, 3))
+
+        pack = np.zeros((sh.pack_rows, 6), dtype=np.float32)
+        pack[:n, :3] = points[:n]
+        pack[:n, 3] = (stamps[:n] - scan_t0).astype(np.float32)
+        pack[:n, 4] = rings[:n]
+        pack[:n, 5] = np.isfinite(points[:n]).all(axis=1)
+        rc, D = sh.raw_cap, sh.n_dense
+        pack[rc : rc + D, :3] = acc_d
+        pack[rc : rc + D, 3:] = gyr_d
+        pack[rc + D, :] = [
+            dt,
+            horizon,
+            1.0 if use_imu_now else 0.0,
+            c.alpha_sliding_window_imu if use_imu_now else c.alpha_sliding_window_no_imu,
+            c.max_step_sliding_window_imu if use_imu_now else c.max_step_sliding_window_no_imu,
+            c.imu_factor_weight_submap if use_imu_now else 0.0,
+        ]
+        rel = [a - t0_w for a, _ in self._scan_minmax]
+        rel = [0.0] * (sh.n_clouds - len(rel)) + rel
+        pack[rc + D + 1, : sh.n_clouds] = rel
+        pack[rc + D + 2, 0] = shift_t0
+        pack[rc + D + 2, 1] = float(self.scan_counter + 1)
+
+        self.state = self.step(self.state, jnp.asarray(pack))
+        self.received_imu = False
+
+    # ------------------------------------------------------------- events
+    def _flush_events(self):
+        """Download the event ring once and replay into the output ledger."""
+        n_new = self.scan_counter - self._flushed_upto
+        if n_new <= 0:
+            return
+        events = np.array(self.state.events)  # one transfer
+        cap = self.shapes.ev_cap
+        for i in range(self._flushed_upto, self.scan_counter):
+            ev = events[i % cap]
+            t0_w = self._window_t0_history[i]
+            etype = int(round(ev[0]))
+            if etype in (1, 2):  # init / keyframe
+                if ev[8] > 0.5 and etype == 2:  # retirement first
+                    if self._kf_stamp_queue:
+                        ret_stamp = self._kf_stamp_queue.pop(0)
+                    else:  # pragma: no cover - defensive
+                        ret_stamp = t0_w
+                    self.output.add_static_keyframe_pose(ev[12:15], ev[9:12], ret_stamp)
+                self.output.inform_about_new_keyframe()
+                self._kf_stamp_queue.append(t0_w)
+                if len(self._kf_stamp_queue) > self.shapes.kf_cap:
+                    self._kf_stamp_queue.pop(0)
+            elif etype == 3:  # non-keyframe, pose relative to live kf
+                self.output.add_non_keyframe_pose(ev[4:7], ev[1:4], t0_w, int(ev[7]))
+        self._flushed_upto = self.scan_counter
+
+    # ------------------------------------------------------------- outputs
+    @property
+    def kf_count(self) -> int:
+        return int(self.state.kf.count)
+
+    def keyframe_poses(self):
+        """(stamps, transl [n,3], orient [n,3]) of the active keyframes."""
+        n = self.kf_count
+        transl = np.array(self.state.kf.transl_w)[:n]
+        orient = np.array(self.state.kf.orient_w)[:n]
+        stamps = np.asarray(self._kf_stamp_queue[-n:]) if n else np.zeros(0)
+        return stamps, transl, orient
+
+    def map_points(self):
+        n = self.kf_count
+        if n == 0:
+            return None
+        from scipy.spatial.transform import Rotation
+
+        pts = np.array(self.state.kf.local_pts)[:n]
+        msk = np.array(self.state.kf.pt_mask)[:n]
+        orient = np.array(self.state.kf.orient_w)[:n]
+        transl = np.array(self.state.kf.transl_w)[:n]
+        out = []
+        for k in range(n):
+            R = Rotation.from_rotvec(orient[k]).as_matrix().astype(np.float32)
+            out.append(pts[k][msk[k]] @ R.T + transl[k].astype(np.float32))
+        return np.concatenate(out) if out else None
+
+    def save_poses(self, result_dir: str) -> str:
+        self._flush_events()
+        stamps, transl, orient = self.keyframe_poses()
+        return self.output.save_dense_poses(stamps, transl, orient, result_dir)

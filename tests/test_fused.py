@@ -1,0 +1,68 @@
+"""Fused device-resident pipeline: end-to-end synthetic sequence.
+
+Must track ground truth like the host pipeline (pipeline.slam) and write an
+equivalent TUM ledger.
+"""
+
+import numpy as np
+import pytest
+
+from dmsa_lidar_slam_tpu.io.synthetic import SyntheticSequence, ate_rmse
+from dmsa_lidar_slam_tpu.pipeline.fused import FusedDmsaSlam
+
+from tests.test_pipeline import small_config
+
+
+def run_sequence(slam, seq, n_scans, pts, use_imu):
+    imu_cursor = seq.t_start - 0.2
+    for i in range(n_scans):
+        t_end = seq.t_start + (i + 1) * seq.sweep
+        if use_imu:
+            ts, acc, gyr = seq.imu_samples(imu_cursor, t_end)
+            for j in range(len(ts)):
+                slam.process_imu(acc[j], gyr[j], ts[j])
+            imu_cursor = t_end
+        slam.process_scan(*seq.scan(i, pts))
+
+
+@pytest.mark.slow
+def test_fused_lidar_only(tmp_path):
+    cfg = small_config(use_imu=False)
+    slam = FusedDmsaSlam(cfg, flush_every=8)
+    seq = SyntheticSequence(rng=np.random.default_rng(7), noise_std=0.01, room_scale=0.45)
+    run_sequence(slam, seq, n_scans=14, pts=900, use_imu=False)
+
+    assert slam.kf_count >= 2
+    stamps, transl, orient = slam.keyframe_poses()
+    rmse = ate_rmse(stamps, transl, seq)
+    assert rmse < 0.15, f"ATE RMSE {rmse}"
+
+    # live odometry estimate: last window anchor displacement vs truth
+    ow_t = np.array(slam.state.ow_transl)
+    est_d = np.linalg.norm(ow_t[0])
+    t0_last = slam._window_t0_history[-1]
+    true_d = np.linalg.norm(seq.pose(t0_last).position - seq.pose(seq.t_start).position)
+    assert abs(est_d - true_d) < 0.05 + 0.1 * true_d, f"disp {est_d} vs {true_d}"
+
+    path = slam.save_poses(str(tmp_path))
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == len(slam.output.order_is_key)
+    assert all(len(l.split()) == 8 for l in lines)
+
+
+@pytest.mark.slow
+def test_fused_with_imu(tmp_path):
+    cfg = small_config(use_imu=True, imu_factor_weight_submap=0.001)
+    slam = FusedDmsaSlam(cfg, flush_every=8)
+    seq = SyntheticSequence(rng=np.random.default_rng(11), noise_std=0.01, room_scale=0.45)
+    run_sequence(slam, seq, n_scans=14, pts=900, use_imu=True)
+
+    assert slam.kf_count >= 2
+    stamps, transl, orient = slam.keyframe_poses()
+    rmse = ate_rmse(stamps, transl, seq)
+    assert rmse < 0.15, f"ATE RMSE {rmse}"
+    ow_t = np.array(slam.state.ow_transl)
+    est_d = np.linalg.norm(ow_t[0])
+    t0_last = slam._window_t0_history[-1]
+    true_d = np.linalg.norm(seq.pose(t0_last).position - seq.pose(seq.t_start).position)
+    assert abs(est_d - true_d) < 0.05 + 0.1 * true_d, f"disp {est_d} vs {true_d}"
