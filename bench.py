@@ -25,7 +25,7 @@ def main():
         n_clouds=5,
         num_control_poses=6,
         max_num_points_per_scan=3000,
-        min_dist_ds=10.0,
+        min_dist_ds=2.0,
         min_dist=0.1,
         num_iter_sliding_window_optim=10,
         num_iter_keyframe_optim=10,
@@ -33,12 +33,13 @@ def main():
         min_num_points_gauss_key=10,
         closest_k_keyframes_as_static_points=3,
         last_n_keyframes_for_optim=50,
-        dist_new_keyframe=2.0,
+        dist_new_keyframe=1.5,
         use_imu=True,
         imu_factor_weight_submap=0.001,
         n_dense=501,
-        static_points_cap=16384,
-        keyframe_points_cap=8192,
+        static_points_cap=8192,
+        scan_cap_factor=1.3,
+        keyframe_points_cap=4096,
         raw_scan_cap=32768,
     )
     slam = FusedDmsaSlam(cfg, flush_every=20)

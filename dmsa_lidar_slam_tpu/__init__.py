@@ -35,6 +35,15 @@ if os.environ.get("DMSA_DISABLE_X64", "0") != "1":
 
     jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to bf16 multiplies for f32 inputs; pose math (axis-angle
+# chains, preintegration, barycentric weights) needs true f32 — the bf16
+# default measurably degrades the estimator (keyframe storms on TPU that
+# never appear on CPU).  The hot matmuls here are 3x3-batched, so the full-
+# precision passes cost nothing.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: the pipeline compiles ~8 large graphs; with
 # the cache, later processes (benchmarks, production restarts) skip the
 # multi-minute cold start entirely.

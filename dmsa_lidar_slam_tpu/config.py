@@ -78,6 +78,7 @@ class Config:
     result_dir: str = "."
 
     # --- TPU-build specific shape caps (padding discipline) ---
+    scan_cap_factor: float = 2.0  # per-scan capacity = factor * max_num_points
     n_dense: int = 501  # dense pose table length per window
     static_points_cap: int = 32768  # device-side static point capacity
     keyframe_points_cap: int = 4096  # per-keyframe local cloud capacity

@@ -190,3 +190,124 @@ def load_checkpoint(slam, path: str):
     slam.config.use_imu = meta["use_imu"]
     slam._prng_counter = meta["prng_counter"]
     return slam
+
+
+# ---------------------------------------------------------------- fused
+def save_fused_checkpoint(slam, path: str):
+    """Serialize a pipeline.fused.FusedDmsaSlam (downloads the device state
+    once — one batched transfer per leaf)."""
+    import jax
+
+    slam._flush_events()
+    leaves, treedef = jax.tree.flatten(slam.state)
+    arrays = {f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    arrays.update(
+        imu_acc=slam.imu_buffer.acc,
+        imu_gyr=slam.imu_buffer.gyr,
+        imu_stamps=slam.imu_buffer.stamps,
+        imu_bias=slam.imu_buffer.bias_gyr,
+        scan_minmax=np.asarray(slam._scan_minmax, dtype=np.float64).reshape(-1, 2)
+        if slam._scan_minmax
+        else np.zeros((0, 2)),
+        window_t0_history=np.asarray(slam._window_t0_history),
+        kf_stamp_queue=np.asarray(slam._kf_stamp_queue),
+        out_order_is_key=np.asarray(slam.output.order_is_key, dtype=bool),
+        out_static_stamps=np.asarray([s for s, _, _ in slam.output.static_keyframes]),
+        out_static_transl=(
+            np.stack([t for _, t, _ in slam.output.static_keyframes])
+            if slam.output.static_keyframes
+            else np.zeros((0, 3))
+        ),
+        out_static_orient=(
+            np.stack([o for _, _, o in slam.output.static_keyframes])
+            if slam.output.static_keyframes
+            else np.zeros((0, 3))
+        ),
+        out_nk_transl=(
+            np.stack([nk.transl for nk in slam.output.non_keyframes])
+            if slam.output.non_keyframes
+            else np.zeros((0, 3))
+        ),
+        out_nk_orient=(
+            np.stack([nk.orient for nk in slam.output.non_keyframes])
+            if slam.output.non_keyframes
+            else np.zeros((0, 3))
+        ),
+        out_nk_stamp=np.asarray([nk.stamp for nk in slam.output.non_keyframes]),
+        out_nk_rel=np.asarray([nk.relative for nk in slam.output.non_keyframes], dtype=bool),
+        out_nk_kfid=np.asarray(
+            [nk.related_keyframe_id for nk in slam.output.non_keyframes], dtype=np.int64
+        ),
+    )
+    meta = {
+        "version": CHECKPOINT_VERSION,
+        "kind": "fused",
+        "num_leaves": len(leaves),
+        "scan_counter": slam.scan_counter,
+        "flushed_upto": slam._flushed_upto,
+        "time_initialized": slam.time_initialized,
+        "received_imu": slam.received_imu,
+        "use_imu": slam.config.use_imu,
+        "imu_next_idx": slam.imu_buffer.next_idx,
+        "imu_num_updates": slam.imu_buffer.num_updates,
+        "prev_window_t0": slam._prev_window_t0,
+        "has_buffered_scan": slam.buffered_scan is not None,
+    }
+    arrays_b = {}
+    if slam.buffered_scan is not None:
+        p, s, r = slam.buffered_scan
+        arrays_b = {"buffered_points": p, "buffered_stamps": s, "buffered_rings": r}
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, meta=json.dumps(meta), **arrays, **arrays_b)
+    os.replace(tmp, path)
+
+
+def load_fused_checkpoint(slam, path: str):
+    """Restore into a freshly-constructed FusedDmsaSlam (same Config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmsa_lidar_slam_tpu.pipeline.output import _NonKeyframePose
+
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    if meta.get("kind") != "fused":
+        raise ValueError("not a fused-pipeline checkpoint")
+
+    leaves, treedef = jax.tree.flatten(slam.state)
+    new_leaves = [jnp.asarray(z[f"leaf{i}"], dtype=l.dtype) for i, l in enumerate(leaves)]
+    slam.state = jax.tree.unflatten(treedef, new_leaves)
+
+    slam.imu_buffer.acc[...] = z["imu_acc"]
+    slam.imu_buffer.gyr[...] = z["imu_gyr"]
+    slam.imu_buffer.stamps[...] = z["imu_stamps"]
+    slam.imu_buffer.bias_gyr[...] = z["imu_bias"]
+    slam.imu_buffer.next_idx = meta["imu_next_idx"]
+    slam.imu_buffer.num_updates = meta["imu_num_updates"]
+
+    slam._scan_minmax = [tuple(row) for row in z["scan_minmax"]]
+    slam._window_t0_history = list(z["window_t0_history"])
+    slam._kf_stamp_queue = list(z["kf_stamp_queue"])
+    slam.scan_counter = meta["scan_counter"]
+    slam._flushed_upto = meta["flushed_upto"]
+    slam.time_initialized = meta["time_initialized"]
+    slam.received_imu = meta["received_imu"]
+    slam.config.use_imu = meta["use_imu"]
+    slam._prev_window_t0 = meta["prev_window_t0"]
+    if meta["has_buffered_scan"]:
+        slam.buffered_scan = (z["buffered_points"], z["buffered_stamps"], z["buffered_rings"])
+
+    out = slam.output
+    out.order_is_key = [bool(v) for v in z["out_order_is_key"]]
+    out.static_keyframes = [
+        (float(s), t.copy(), o.copy())
+        for s, t, o in zip(z["out_static_stamps"], z["out_static_transl"], z["out_static_orient"])
+    ]
+    out.non_keyframes = []
+    for t, o, s, rel, kid in zip(
+        z["out_nk_transl"], z["out_nk_orient"], z["out_nk_stamp"], z["out_nk_rel"], z["out_nk_kfid"]
+    ):
+        nk = _NonKeyframePose(t, o, float(s), int(kid))
+        nk.relative = bool(rel)
+        out.non_keyframes.append(nk)
+    return slam

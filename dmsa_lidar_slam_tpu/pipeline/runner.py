@@ -36,11 +36,16 @@ def save_outputs(slam: DmsaSlam, result_dir: str):
     return path
 
 
-def run(config_paths, overrides=None, max_scans=None, result_dir=None):
+def run(config_paths, overrides=None, max_scans=None, result_dir=None, pipeline="fused"):
     cfg = load_config(*config_paths, overrides=overrides)
     if result_dir:
         cfg.result_dir = result_dir
-    slam = DmsaSlam(cfg)
+    if pipeline == "fused":
+        from dmsa_lidar_slam_tpu.pipeline.fused import FusedDmsaSlam
+
+        slam = FusedDmsaSlam(cfg)
+    else:
+        slam = DmsaSlam(cfg)
 
     topics = [t for t in (cfg.lidar_topic, cfg.imu_topic) if t]
     n_scans = 0
@@ -76,13 +81,19 @@ def main(argv=None):
     parser.add_argument("configs", nargs="+", help="YAML config overlay paths (in order)")
     parser.add_argument("--max-scans", type=int, default=None)
     parser.add_argument("--result-dir", default=None)
+    parser.add_argument(
+        "--pipeline",
+        choices=["fused", "host"],
+        default="fused",
+        help="fused: device-resident one-dispatch-per-scan; host: reference-style orchestration",
+    )
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
-    run(args.configs, max_scans=args.max_scans, result_dir=args.result_dir)
+    run(args.configs, max_scans=args.max_scans, result_dir=args.result_dir, pipeline=args.pipeline)
 
 
 if __name__ == "__main__":
