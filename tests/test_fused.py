@@ -66,3 +66,22 @@ def test_fused_with_imu(tmp_path):
     t0_last = slam._window_t0_history[-1]
     true_d = np.linalg.norm(seq.pose(t0_last).position - seq.pose(seq.t_start).position)
     assert abs(est_d - true_d) < 0.05 + 0.1 * true_d, f"disp {est_d} vs {true_d}"
+
+
+@pytest.mark.slow
+def test_fused_keyframe_retirement(tmp_path):
+    """Small keyframe capacity forces shift-out-oldest + ledger retirement."""
+    cfg = small_config(use_imu=False, last_n_keyframes_for_optim=3, dist_new_keyframe=0.05)
+    slam = FusedDmsaSlam(cfg, flush_every=4)
+    seq = SyntheticSequence(rng=np.random.default_rng(23), noise_std=0.01, room_scale=0.45)
+    run_sequence(slam, seq, n_scans=16, pts=700, use_imu=False)
+    slam._flush_events()
+
+    assert slam.kf_count == 3  # buffer capped
+    assert len(slam.output.static_keyframes) >= 1  # retirements happened
+    path = slam.save_poses(str(tmp_path))
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == len(slam.output.order_is_key)
+    # stamps monotonically increase across the ledger
+    stamps = [float(l.split()[0]) for l in lines]
+    assert all(b >= a for a, b in zip(stamps, stamps[1:]))
