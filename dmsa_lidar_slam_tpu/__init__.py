@@ -58,4 +58,18 @@ if os.environ.get("DMSA_DISABLE_COMPILE_CACHE", "0") != "1":
 
 from dmsa_lidar_slam_tpu.config import Config, load_config  # noqa: E402,F401
 
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax-heavy modules eagerly)."""
+    if name == "DmsaSlam":
+        from dmsa_lidar_slam_tpu.pipeline.slam import DmsaSlam
+
+        return DmsaSlam
+    if name == "FusedDmsaSlam":
+        from dmsa_lidar_slam_tpu.pipeline.fused import FusedDmsaSlam
+
+        return FusedDmsaSlam
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"

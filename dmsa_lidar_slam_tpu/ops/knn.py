@@ -19,10 +19,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-_B = jnp.int64(1) << 20  # cells per axis; coords offset to [0, 2^19)
-_OFF = 1 << 19
-
 _QUERY_CHUNK = 4096
+
+# 30-bit spatial hash (int64 sorts are emulated and slow on TPU; collisions
+# over the 2^30 space are ~n^2/2^31 — a fraction of a cell for our sizes —
+# and harmless anyway because every candidate passes a real distance check)
+_P1, _P2, _P3 = 73856093, 19349663, 83492791
+_HASH_MASK = (1 << 30) - 1
+_INVALID = jnp.iinfo(jnp.int32).max
 
 
 class HashGrid(NamedTuple):
@@ -38,15 +42,27 @@ class HashGrid(NamedTuple):
     max_occupancy: jnp.ndarray  # [] for overflow logging
 
 
-def _keys64(points, mask, cell_size):
-    c = jnp.floor(points / cell_size).astype(jnp.int64) + _OFF
-    key = (c[:, 0] * _B + c[:, 1]) * _B + c[:, 2]
-    return jnp.where(mask, key, jnp.iinfo(jnp.int64).max)
+def _hash_coords(c):
+    """Murmur-finalized spatial hash (the plain XOR-of-prime-multiples hash
+    has structural collisions between ADJACENT cells in its low bits)."""
+    c = c.astype(jnp.uint32)
+    h = c[..., 0] * jnp.uint32(_P1) + c[..., 1] * jnp.uint32(_P2) + c[..., 2] * jnp.uint32(_P3)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return (h & jnp.uint32(_HASH_MASK)).astype(jnp.int32)
+
+
+def _keys32(points, mask, cell_size):
+    c = jnp.floor(points / cell_size).astype(jnp.int32)
+    return jnp.where(mask, _hash_coords(c), _INVALID)
 
 
 def build_grid(points, mask, cell_size) -> HashGrid:
     n = points.shape[0]
-    keys = _keys64(points, mask, cell_size)
+    keys = _keys32(points, mask, cell_size)
     order = jnp.argsort(keys)
     keys_s = keys[order]
     pts_s = points[order]
@@ -76,7 +92,7 @@ def build_grid(points, mask, cell_size) -> HashGrid:
     )
 
 
-def _neighbor_offsets(dtype=jnp.int64):
+def _neighbor_offsets(dtype=jnp.int32):
     o = jnp.asarray(
         [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
         dtype=dtype,
@@ -90,10 +106,10 @@ def _candidates(grid: HashGrid, q_chunk, cap: int):
     Returns (idx [C, 27*cap] into sorted_pts, ok [C, 27*cap]).
     """
     n = grid.sorted_pts.shape[0]
-    c = jnp.floor(q_chunk / grid.cell_size).astype(jnp.int64) + _OFF  # [C,3]
+    c = jnp.floor(q_chunk / grid.cell_size).astype(jnp.int32)  # [C,3]
     off = _neighbor_offsets()  # [27,3]
     cc = c[:, None, :] + off[None, :, :]  # [C,27,3]
-    nk = (cc[..., 0] * _B + cc[..., 1]) * _B + cc[..., 2]  # [C,27]
+    nk = _hash_coords(cc)  # [C,27]
     pos = jnp.searchsorted(grid.cell_keys, nk)  # [C,27]
     pos = jnp.minimum(pos, n - 1)
     hit = grid.cell_keys[pos] == nk

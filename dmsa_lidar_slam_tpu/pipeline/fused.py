@@ -615,7 +615,7 @@ class FusedDmsaSlam:
         c = self.config
         self.shapes = FusedShapes(
             n_clouds=c.n_clouds,
-            scan_cap=int(c.scan_cap_factor * c.max_num_points_per_scan),
+            scan_cap=-(-int(c.scan_cap_factor * c.max_num_points_per_scan) // 256) * 256,
             raw_cap=c.raw_scan_cap,
             n_static=c.static_points_cap,
             n_ctrl=c.num_control_poses,

@@ -58,7 +58,7 @@ class DmsaSlam:
         self.config = config or Config()
         c = self.config
 
-        self.scan_cap = int(c.scan_cap_factor * c.max_num_points_per_scan)
+        self.scan_cap = -(-int(c.scan_cap_factor * c.max_num_points_per_scan) // 256) * 256
         self.window_shapes = ct.WindowShapes(
             n_window_pts=c.n_clouds * self.scan_cap,
             n_static=c.static_points_cap,

@@ -85,3 +85,33 @@ def test_fused_keyframe_retirement(tmp_path):
     # stamps monotonically increase across the ledger
     stamps = [float(l.split()[0]) for l in lines]
     assert all(b >= a for a, b in zip(stamps, stamps[1:]))
+
+
+@pytest.mark.slow
+def test_fused_matches_host_pipeline(tmp_path):
+    """Fused and host pipelines track the same truth on the same sequence.
+
+    They are not bitwise identical (different PRNG streams for the random
+    voxel sampling), but both must converge to the trajectory."""
+    from dmsa_lidar_slam_tpu.io.synthetic import ate_rmse as _ate
+    from dmsa_lidar_slam_tpu.pipeline.slam import DmsaSlam
+    from tests.test_pipeline import run_sequence as run_host
+
+    seq_a = SyntheticSequence(rng=np.random.default_rng(31), noise_std=0.01, room_scale=0.45)
+    seq_b = SyntheticSequence(rng=np.random.default_rng(31), noise_std=0.01, room_scale=0.45)
+
+    fused = FusedDmsaSlam(small_config(use_imu=False), flush_every=8)
+    run_sequence(fused, seq_a, n_scans=12, pts=900, use_imu=False)
+
+    host = DmsaSlam(small_config(use_imu=False))
+    run_host(host, seq_b, n_scans=12, pts=900, use_imu=False)
+
+    # both live odometry estimates close to the truth
+    ow_f = np.array(fused.state.ow_transl)[0]
+    ow_h = host.old_window.transl_w[0]
+    t0_f = fused._window_t0_history[-1]
+    t0_h = host.old_window.t0
+    true_f = seq_a.pose(t0_f).position - seq_a.pose(seq_a.t_start).position
+    true_h = seq_b.pose(t0_h).position - seq_b.pose(seq_b.t_start).position
+    assert np.linalg.norm(ow_f - true_f) < 0.08, (ow_f, true_f)
+    assert np.linalg.norm(ow_h - true_h) < 0.08, (ow_h, true_h)
