@@ -113,13 +113,14 @@ class SyntheticSequence:
         self.noise_std = noise_std
         self.planes = room_scene(room_scale)
 
-    def _ramp_integral(self, rel: float) -> float:
-        """Integral of the ramp profile min(t/t_ramp, 1) from 0 to rel."""
-        if rel <= 0:
-            return 0.0
-        if rel < self.t_ramp:
-            return 0.5 * rel * rel / self.t_ramp
-        return 0.5 * self.t_ramp + (rel - self.t_ramp)
+    def _ramp_integral(self, rel):
+        """Integral of the ramp profile min(t/t_ramp, 1) from 0 to rel
+        (scalar or array)."""
+        rel = np.asarray(rel, float)
+        below = 0.5 * np.clip(rel, 0.0, None) ** 2 / self.t_ramp
+        above = 0.5 * self.t_ramp + (rel - self.t_ramp)
+        out = np.where(rel < self.t_ramp, below, above)
+        return out if out.ndim else float(out)
 
     def _ramp(self, rel: float) -> float:
         return float(np.clip(rel / self.t_ramp, 0.0, 1.0))
@@ -144,12 +145,14 @@ class SyntheticSequence:
         t0 = self.t_start + scan_idx * self.sweep
         world = sample_scene_points(self.rng, pts_per_scan, planes=self.planes)
         stamps = t0 + np.sort(self.rng.uniform(0, self.sweep, size=pts_per_scan))
-        local = np.zeros((pts_per_scan, 3), dtype=np.float32)
-        # per-point pose (intra-sweep motion): vectorized via small batches
-        for i in range(pts_per_scan):
-            pose = self.pose(stamps[i])
-            R = Rotation.from_rotvec(pose.rotvec).as_matrix()
-            local[i] = R.T @ (world[i] - pose.position)
+        # per-point pose (intra-sweep motion), fully vectorized
+        s = self._ramp_integral(stamps - self.t_start)
+        positions = self.p0[None, :] + s[:, None] * self.v_lin[None, :]
+        yaws = self.yaw0 + self.yaw_rate * s
+        rotvecs = np.zeros((pts_per_scan, 3))
+        rotvecs[:, 2] = yaws
+        R = Rotation.from_rotvec(rotvecs).as_matrix()  # [n,3,3]
+        local = np.einsum("nji,nj->ni", R, world - positions).astype(np.float32)
         if self.noise_std > 0:
             local += self.rng.normal(scale=self.noise_std, size=local.shape).astype(np.float32)
         rng_norm = np.linalg.norm(local, axis=1)
@@ -160,13 +163,18 @@ class SyntheticSequence:
     def imu_samples(self, t_from: float, t_to: float, rate: float = 400.0):
         """IMU (stamps, acc [n,3], gyr [n,3]) consistent with the motion."""
         ts = np.arange(t_from, t_to, 1.0 / rate)
-        acc = np.zeros((len(ts), 3))
+        rel = ts - self.t_start
+        s_int = self._ramp_integral(rel)
+        yaws = self.yaw0 + self.yaw_rate * s_int
+        rotvecs = np.zeros((len(ts), 3))
+        rotvecs[:, 2] = yaws
+        R = Rotation.from_rotvec(rotvecs).as_matrix()
+        ramp = np.clip(rel / self.t_ramp, 0.0, 1.0)
+        in_ramp = (rel >= 0) & (rel < self.t_ramp)
+        a_w = in_ramp[:, None] * (self.v_lin / self.t_ramp)[None, :]
+        acc = np.einsum("nji,nj->ni", R, a_w - GRAVITY[None, :])
         gyr = np.zeros((len(ts), 3))
-        for i, t in enumerate(ts):
-            pose = self.pose(t)
-            R = Rotation.from_rotvec(pose.rotvec).as_matrix()
-            acc[i] = R.T @ (self.world_accel(t) - GRAVITY)
-            gyr[i] = [0.0, 0.0, self.yaw_rate * self._ramp(t - self.t_start)]
+        gyr[:, 2] = self.yaw_rate * ramp
         return ts, acc, gyr
 
 

@@ -28,15 +28,19 @@ log = logging.getLogger("dmsa_runner")
 CYCLIC_SAVE_EVERY = 20  # clouds (dmsa_slam_ros.cpp:495-506)
 
 
-def save_outputs(slam: DmsaSlam, result_dir: str):
+def save_outputs(slam, result_dir: str, with_viz: bool = False):
     path = slam.save_poses(result_dir)
     pts = slam.map_points()
     if pts is not None and len(pts):
         save_pcd(f"{result_dir}/PointCloud.pcd", pts)
+    if with_viz:
+        from dmsa_lidar_slam_tpu.pipeline import viz
+
+        viz.export_all(slam, result_dir)
     return path
 
 
-def run(config_paths, overrides=None, max_scans=None, result_dir=None, pipeline="fused"):
+def run(config_paths, overrides=None, max_scans=None, result_dir=None, pipeline="fused", viz_every=0):
     cfg = load_config(*config_paths, overrides=overrides)
     if result_dir:
         cfg.result_dir = result_dir
@@ -62,7 +66,7 @@ def run(config_paths, overrides=None, max_scans=None, result_dir=None, pipeline=
             slam.process_scan(pts, stamps, rings)
             n_scans += 1
             if n_scans % CYCLIC_SAVE_EVERY == 0:
-                save_outputs(slam, cfg.result_dir)
+                save_outputs(slam, cfg.result_dir, with_viz=viz_every and n_scans % viz_every == 0)
             if max_scans and n_scans >= max_scans:
                 break
         elif msg.topic == cfg.imu_topic:
@@ -70,7 +74,7 @@ def run(config_paths, overrides=None, max_scans=None, result_dir=None, pipeline=
             slam.process_imu(imu.linear_acceleration, imu.angular_velocity, imu.stamp)
 
     wall = time.perf_counter() - t_start
-    path = save_outputs(slam, cfg.result_dir)
+    path = save_outputs(slam, cfg.result_dir, with_viz=bool(viz_every))
     log.info("processed %d scans in %.1fs -> %s", n_scans, wall, path)
     log.info("stage timings: %s", slam.metrics.summary())
     return slam
@@ -87,13 +91,14 @@ def main(argv=None):
         default="fused",
         help="fused: device-resident one-dispatch-per-scan; host: reference-style orchestration",
     )
+    parser.add_argument("--viz-every", type=int, default=0, help="export PLY/HTML viz every N scans")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
-    run(args.configs, max_scans=args.max_scans, result_dir=args.result_dir, pipeline=args.pipeline)
+    run(args.configs, max_scans=args.max_scans, result_dir=args.result_dir, pipeline=args.pipeline, viz_every=args.viz_every)
 
 
 if __name__ == "__main__":
