@@ -76,6 +76,10 @@ class Config:
     lidar_topic: str = ""
     imu_topic: str = ""
     result_dir: str = "."
+    # live view: the reference opens a PCL viewer window (custom.yaml
+    # `live_view`); headless equivalent here = cyclic self-contained HTML
+    # map view written next to the results (pipeline/viz.py)
+    live_view: bool = False
 
     # --- TPU-build specific shape caps (padding discipline) ---
     scan_cap_factor: float = 2.0  # per-scan capacity = factor * max_num_points

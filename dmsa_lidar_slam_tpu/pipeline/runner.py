@@ -44,6 +44,8 @@ def run(config_paths, overrides=None, max_scans=None, result_dir=None, pipeline=
     cfg = load_config(*config_paths, overrides=overrides)
     if result_dir:
         cfg.result_dir = result_dir
+    if cfg.live_view and not viz_every:
+        viz_every = CYCLIC_SAVE_EVERY
     if pipeline == "fused":
         from dmsa_lidar_slam_tpu.pipeline.fused import FusedDmsaSlam
 
