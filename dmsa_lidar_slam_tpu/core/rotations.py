@@ -71,6 +71,20 @@ def axang2quat(aa):
     return jnp.concatenate([w[..., None], xyz], axis=-1)
 
 
+def quat_rotate(q, v):
+    """Rotate vectors v [..., 3] by unit quaternions q [..., 4] (w, x, y, z).
+
+    v' = v + w*t + u x t with u = q.xyz, t = 2 (u x v) — 18 mul + 12 add per
+    point, all VPU elementwise; used for the per-point deskew so only a [D,4]
+    quaternion table is gathered instead of [D,3,3] rotation matrices
+    (9x -> 4x less gather/tangent memory in the optimizer's batched evals).
+    """
+    w = q[..., :1]
+    u = q[..., 1:]
+    t = 2.0 * jnp.cross(u, v)
+    return v + w * t + jnp.cross(u, t)
+
+
 def quat2axang(q):
     """Quaternion [..., 4] (w, x, y, z) -> axis-angle [..., 3]."""
     q = q * jnp.sign(q[..., :1] + _EPS)  # enforce w >= 0 => angle in [0, pi]

@@ -93,11 +93,14 @@ def make_forward(shapes: MapShapes, use_gravity: bool, use_odometry: bool, use_s
 
     def forward(params, data: KeyframeMapData) -> ForwardOut:
         chain, gp = global_chain(params, data, shapes)
-        R = rot.axang2rotm(gp.orient).astype(jnp.float32)  # [K,3,3]
+        # quaternion rotate (VPU elementwise) instead of [K,3,3] batched
+        # tiny-contraction matmuls — lowers much better under the
+        # optimizer's vmapped line-search / Jacobian-tangent evaluations
+        q = rot.axang2quat(gp.orient).astype(jnp.float32)[:, None, :]  # [K,1,4]
         t = gp.transl.astype(jnp.float32)
 
-        pts_w = jnp.einsum("kij,kpj->kpi", R, data.local_pts) + t[:, None, :]
-        nrm_w = jnp.einsum("kij,kpj->kpi", R, data.local_normals)
+        pts_w = rot.quat_rotate(q, data.local_pts) + t[:, None, :]
+        nrm_w = rot.quat_rotate(q, data.local_normals)
 
         mask = data.pt_mask & data.kf_mask[:, None]
         points = pts_w.reshape(-1, 3)

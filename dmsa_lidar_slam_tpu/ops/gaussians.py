@@ -3,8 +3,8 @@
 TPU-native replacement for the reference's Gaussians container + octree leaf
 iteration (reference: include/DMSA/Gaussians.h:87-202,
 DmsaOptimizer.h:275-350).  A "cell set" here is a fixed-capacity padded array
-of candidate cells (capacity = number of points, the trivially safe bound);
-validity is a mask combining the reference's acceptance rules:
+of candidate cells; validity is a mask combining the reference's acceptance
+rules:
 
   - at least `min_points` members (DmsaOptimizer.h:307),
   - at least two distinct ring ids in the cell (same line),
@@ -14,10 +14,13 @@ validity is a mask combining the reference's acceptance rules:
   - rebalancing weights w_k ∝ obs_weight_k / n_k, normalized to mean 1 over
     valid cells (Gaussians.h:170-179).
 
-Performance shape: binning sorts points by voxel key once per cell build;
-the CellSet keeps that permutation so every subsequent residual evaluation
-(line search, Jacobian tangents) uses gather + SORTED segment reductions
-instead of scatter-adds — the fast path on TPU.
+Performance shape (all TPU-scatter-free): binning sorts points by voxel key
+once per cell build; cells are identified by the *sorted position of their
+first member* (run-start slots, ops.voxel.bin_runs), so per-cell and
+per-point quantities share one [N]-indexed layout.  Every reduction is a
+log-depth cumsum plus at most one [N, W] gather — no segment_sum scatters,
+no argsort inverse, and every residual evaluation (line search, Jacobian
+tangents) re-uses the frozen run structure with a single boundary gather.
 """
 
 from typing import NamedTuple
@@ -31,38 +34,38 @@ COV_EIG_FLOOR = 1e-4  # Gaussians.h:193
 
 
 class CellSet(NamedTuple):
-    """Padded Gaussian cells over N points (capacity N).
+    """Padded Gaussian cells over N points (capacity N, run-start slots).
 
-    order       [N]  permutation sorting points by cell (invalid last)
-    seg_ids     [N]  cell id per *sorted* point (ascending)
-    point_cell  [N]  cell id per original point (sentinel N-1 if masked)
-    info        [N, 3, 3]  information matrix per cell (junk where invalid)
-    weight      [N]  rebalancing weight per cell (0 where invalid)
-    count       [N]  member count per cell
-    valid       [N]  cell validity mask
-    num_valid   []   number of valid cells
-    num_raw     []   number of occupied voxels before acceptance rules
-    start       [N]  first sorted index of each cell (N for empty cells)
-    mu0         [N, 3]  cell mean at build time (the linearization point)
-    info_sorted [N, 3, 3]  information matrix gathered per sorted point
-    mu0_sorted  [N, 3]  build-time mean gathered per sorted point
-    w_sorted    [N]  point mask in sorted order (as dtype of points)
+    Per *sorted point* arrays (length N):
+      order    [N]      permutation sorting points by cell (invalid last)
+      start    [N]      run-start position of the point's cell
+      end      [N]      one-past-last position of the point's run
+      info     [N,3,3]  information matrix of the point's cell (0 if invalid)
+      mu0      [N,3]    cell mean at build time (the linearization point)
+      w_sorted [N]      point validity in sorted order (as points dtype)
+
+    Per *cell* arrays, meaningful only at run-start rows (slot = run start):
+      weight   [N]      rebalancing weight (0 at non-starts / invalid)
+      count    [N]      member count (valid members; same for all members)
+      valid    [N]      cell validity mask (False at non-start rows)
+
+    point_cell [N] maps each *original* point to its cell slot (sentinel
+    N-1 when masked); only needed by host-side consumers — inside jit it is
+    dead code unless used and costs nothing.
     """
 
     order: jnp.ndarray
-    seg_ids: jnp.ndarray
-    point_cell: jnp.ndarray
+    start: jnp.ndarray
+    end: jnp.ndarray
     info: jnp.ndarray
+    mu0: jnp.ndarray
+    w_sorted: jnp.ndarray
     weight: jnp.ndarray
     count: jnp.ndarray
     valid: jnp.ndarray
     num_valid: jnp.ndarray
     num_raw: jnp.ndarray
-    start: jnp.ndarray
-    mu0: jnp.ndarray
-    info_sorted: jnp.ndarray
-    mu0_sorted: jnp.ndarray
-    w_sorted: jnp.ndarray
+    point_cell: jnp.ndarray
 
 
 def segment_mean_cov(points, point_cell, point_weight, num_segments, indices_are_sorted=False):
@@ -70,7 +73,9 @@ def segment_mean_cov(points, point_cell, point_weight, num_segments, indices_are
 
     point_weight [N] is a 0/1 mask weight.  Returns (count [S], mean [S,3],
     cov [S,3,3]) with cov normalized by (n - 1) to match Eigen's sample
-    covariance in Gaussians.h:146-147.
+    covariance in Gaussians.h:146-147.  (Generic segment-id path, used by
+    callers that already have compact ids; the optimizer hot path uses the
+    run-slot formulation in build_cells instead.)
     """
     w = point_weight
     count = jax.ops.segment_sum(
@@ -116,84 +121,81 @@ def build_cells(
     split_ids optional [N] small ints subdividing voxels by surface
     orientation — the TPU-shaped analogue of the reference's normal-based
     set splitting (Gaussians.h:27-85).
+
+    Two cumsum rounds (member counts/means, then centered second moments),
+    one [N,6] + one [N,3x3] boundary gather, zero scatters.
     """
     n = points.shape[0]
-    binning = voxel.bin_points(points, mask, grid_size, channel=split_ids)
-    order = binning.order
-    seg = binning.seg_ids  # sorted ascending
+    rb = voxel.bin_runs(points, mask, grid_size, channel=split_ids)
+    order, new_cell, start, end = rb.order, rb.new_cell, rb.start, rb.end
 
     pts_s = points[order]
     w_s = mask[order].astype(points.dtype)
     rings_s = ring_ids[order]
-
-    count, mean, cov = segment_mean_cov(pts_s, seg, w_s, n, indices_are_sorted=True)
-
-    big = jnp.iinfo(jnp.int32).max
-    ring_min = jax.ops.segment_min(
-        jnp.where(w_s > 0, rings_s, big), seg, num_segments=n, indices_are_sorted=True
-    )
-    ring_max = jax.ops.segment_max(
-        jnp.where(w_s > 0, rings_s, -big), seg, num_segments=n, indices_are_sorted=True
-    )
-
-    valid = (count > 0.5) & (count >= min_points) & (ring_min != ring_max)
-
-    info = info_from_cov(cov)
-    # zero invalid cells' info: keeps junk/NaN out of the cumsum path
-    info = jnp.where(valid[:, None, None], info, 0.0)
-
     if obs_weight is None:
-        cell_obs = jnp.ones_like(count)
+        obs_s = w_s
     else:
-        obs_sum = jax.ops.segment_sum(
-            obs_weight[order] * w_s, seg, num_segments=n, indices_are_sorted=True
-        )
-        cell_obs = obs_sum / jnp.maximum(count, 1.0)
+        obs_s = obs_weight[order] * w_s
+
+    # ring diversity without segment_min/max: any consecutive in-run ring
+    # change implies >= 2 distinct ids; all-equal runs have none.
+    ring_prev = jnp.concatenate([rings_s[:1], rings_s[:-1]])
+    ringdiff = ((~new_cell) & (rings_s != ring_prev)).astype(points.dtype)
+
+    # round 1: count | sum(p) | ring-changes | obs  -> broadcast to members
+    vals1 = jnp.concatenate(
+        [w_s[:, None], pts_s * w_s[:, None], ringdiff[:, None], obs_s[:, None]], axis=1
+    )
+    sums1 = voxel.run_sums(vals1, start, end)  # [N, 6], per point
+    count_pp = sums1[:, 0]
+    safe_n = jnp.maximum(count_pp, 1.0)
+    mean_pp = sums1[:, 1:4] / safe_n[:, None]
+    diverse_pp = sums1[:, 4] > 0.5
+    obs_cell_pp = sums1[:, 5] / safe_n
+
+    # round 2: centered second moments; only run-start rows are read, where
+    # the exclusive prefix is aligned (no start gather needed).
+    centered = (pts_s - mean_pp) * w_s[:, None]
+    outer = (centered[:, :, None] * centered[:, None, :]).reshape(n, 9)
+    p_incl = jnp.cumsum(outer, axis=0)
+    p_excl = p_incl - outer
+    last = jnp.minimum(end - 1, n - 1)
+    m2 = p_incl[last] - p_excl  # valid at run-start rows
+    cov = m2.reshape(n, 3, 3) / jnp.maximum(count_pp - 1.0, 1.0)[:, None, None]
+
+    valid = new_cell & (count_pp > 0.5) & (count_pp >= min_points) & diverse_pp
+
+    info_start = info_from_cov(cov)
+    # zero invalid cells' info: keeps junk/NaN out of the residual path
+    info_start = jnp.where(valid[:, None, None], info_start, 0.0)
+    # broadcast the cell's info to every member (start rows map to themselves)
+    info = info_start[start]
 
     # rebalancing: w_k = obs_k / n_k, normalized by mean over valid cells
-    raw_w = jnp.where(valid, cell_obs / jnp.maximum(count, 1.0), 0.0)
+    raw_w = jnp.where(valid, obs_cell_pp / safe_n, 0.0)
     num_valid = jnp.sum(valid)
     mean_w = jnp.sum(raw_w) / jnp.maximum(num_valid, 1)
     weight = jnp.where(valid, raw_w / jnp.maximum(mean_w, 1e-30), 0.0)
 
-    idx = jnp.arange(n)
-    start = jax.ops.segment_min(idx, seg, num_segments=n, indices_are_sorted=True)
-    # empty (padded) cells: segment_min yields INT_MAX-ish; clamp to n so
-    # start == end and the cumsum-diff reduces to zero
-    start = jnp.minimum(start, n)
+    # original-order cell slot (host/test consumers; DCE'd inside jit when
+    # unused — the residual path never touches it)
+    inv = jnp.zeros(n, dtype=start.dtype).at[order].set(start)
+    point_cell = jnp.where(mask, inv, n - 1)
 
     return CellSet(
         order=order,
-        seg_ids=seg,
-        point_cell=binning.point_cell,
+        start=start,
+        end=end,
         info=info,
+        mu0=mean_pp,
+        w_sorted=w_s,
         weight=weight,
-        count=count,
+        count=count_pp,
         valid=valid,
         num_valid=num_valid,
-        num_raw=binning.num_cells,
-        start=start,
-        mu0=mean,
-        info_sorted=info[seg],
-        mu0_sorted=mean[seg],
-        w_sorted=w_s,
+        num_raw=rb.num_cells,
+        point_cell=point_cell,
     )
-
-
-def _run_sums(values, start, count):
-    """Per-cell sums of contiguous sorted runs via cumsum-diff.
-
-    values [N, C]; start/count [N] cell run boundaries.  TPU-native
-    segmented reduction: one log-depth cumsum + two boundary gathers
-    instead of a scatter-add.
-    """
-    n = values.shape[0]
-    csum = jnp.cumsum(values, axis=0)
-    zero = jnp.zeros((1, values.shape[-1]), dtype=values.dtype)
-    padded = jnp.concatenate([zero, csum], axis=0)  # [N+1, C]
-    end = jnp.minimum(start + count.astype(start.dtype), n)
-    s = jnp.minimum(start, n)
-    return padded[end] - padded[s]
 
 
 def cell_residuals(points, mask, cells: CellSet):
@@ -207,17 +209,28 @@ def cell_residuals(points, mask, cells: CellSet):
     speed:  with d0_j = p_j - mu0 and s = mean(d0) over the cell,
         sum_j (p_j - mean)^T L (p_j - mean)
           = sum_j d0^T L d0  -  n * s^T L s.
-    Per-point work is one gather + one 3x3 quadratic form; reductions are
-    cumsum-diff over the sorted runs.  Invalid cells give 0.  Returns [N].
+    Per-point work is one order gather + one elementwise 3x3 quadratic
+    form; the run reduction is one cumsum + ONE boundary gather (the
+    exclusive prefix is aligned at run starts).  Returns [N], nonzero at
+    run-start slots of valid cells.
     """
+    n = points.shape[0]
     pts_s = points[cells.order]
-    d0 = (pts_s - cells.mu0_sorted) * cells.w_sorted[:, None]
+    d0 = (pts_s - cells.mu0) * cells.w_sorted[:, None]
 
-    quad = jnp.einsum("ni,nij,nj->n", d0, cells.info_sorted, d0)
+    # quadratic form on the VPU (no batched-tiny-matmul dot_general)
+    md = jnp.sum(cells.info * d0[:, None, :], axis=2)  # [N,3]
+    quad = jnp.sum(md * d0, axis=1)  # [N]
+
     stacked = jnp.concatenate([d0, quad[:, None]], axis=1)  # [N, 4]
-    sums = _run_sums(stacked, cells.start, cells.count)
+    p_incl = jnp.cumsum(stacked, axis=0)
+    p_excl = p_incl - stacked
+    last = jnp.minimum(cells.end - 1, n - 1)
+    sums = p_incl[last] - p_excl  # valid at run-start rows
+
     s_mean = sums[:, :3] / jnp.maximum(cells.count, 1.0)[:, None]
     q1 = sums[:, 3]
-    corr = cells.count * jnp.einsum("ni,nij,nj->n", s_mean, cells.info, s_mean)
+    ms = jnp.sum(cells.info * s_mean[:, None, :], axis=2)
+    corr = cells.count * jnp.sum(ms * s_mean, axis=1)
     val = cells.weight * (q1 - corr)
     return jnp.where(cells.valid, jnp.sqrt(jnp.abs(val) + 1e-30), 0.0)

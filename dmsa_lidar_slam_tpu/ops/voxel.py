@@ -87,6 +87,72 @@ def bin_points(points, mask, grid_size, channel=None) -> VoxelBinning:
     return VoxelBinning(order=order, seg_ids=seg_ids, point_cell=point_cell, num_cells=num_cells)
 
 
+class RunBinning(NamedTuple):
+    """Scatter-free voxel binning: cells as contiguous runs of the sort.
+
+    Cells are identified by the *sorted position of their first member*
+    ("run-start slots"), so no compact cell-id relabeling — and therefore no
+    scatter / inverse permutation — is ever needed.  All arrays are length N
+    over sorted positions.
+
+    order       [N] permutation sorting points by voxel key (invalid last)
+    new_cell    [N] bool, True where a new run (cell) starts
+    start       [N] int32, run-start position of each point's cell
+    end         [N] int32, one-past-last position of each point's run
+    num_cells   []  int32, occupied cells among valid points
+    """
+
+    order: jnp.ndarray
+    new_cell: jnp.ndarray
+    start: jnp.ndarray
+    end: jnp.ndarray
+    num_cells: jnp.ndarray
+
+
+def bin_runs(points, mask, grid_size, channel=None) -> RunBinning:
+    """Bin points into voxel runs (TPU fast path: sort + cummax/cummin only).
+
+    Replaces the segment-id formulation for the optimizer's per-iteration
+    cell builds: run boundaries come from one forward cummax and one reverse
+    cummin over the sorted keys — no scatters, no argsort inverse.
+    """
+    n = points.shape[0]
+    hi, lo = voxel_keys(points, mask, grid_size, channel)
+    order = jnp.lexsort((lo, hi))
+    hi_s = hi[order]
+    lo_s = lo[order]
+    valid_s = mask[order]
+
+    new_cell = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=bool),
+            (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
+        ]
+    )
+    iota = jnp.arange(n, dtype=jnp.int32)
+    start = jax.lax.cummax(jnp.where(new_cell, iota, 0))
+    # end of each point's run = first boundary strictly after it
+    bpos = jnp.where(new_cell, iota, n)
+    suffix_min = jax.lax.cummin(bpos, reverse=True)
+    end = jnp.concatenate([suffix_min[1:], jnp.full((1,), n, jnp.int32)])
+    num_cells = jnp.sum((new_cell & valid_s).astype(jnp.int32))
+    return RunBinning(order=order, new_cell=new_cell, start=start, end=end, num_cells=num_cells)
+
+
+def run_sums(values, start, end):
+    """Per-run sums of contiguous sorted runs, broadcast to every member.
+
+    values [N, W] in sorted order; start/end [N] per-point run boundaries
+    (bin_runs).  One log-depth cumsum + two [N, W] gathers; rows at
+    run-start positions hold the full run sum (as do all other members).
+    """
+    n = values.shape[0]
+    p_incl = jnp.cumsum(values, axis=0)  # [N, W]
+    p_excl = p_incl - values
+    last = jnp.minimum(end - 1, n - 1)
+    return p_incl[last] - p_excl[start]
+
+
 def random_downsample_mask(points, mask, grid_size, key):
     """Random-grid downsampling: keep one uniformly random point per voxel.
 

@@ -141,12 +141,15 @@ def make_forward(shapes: WindowShapes, use_imu: bool):
         chain, gp, d_orient, d_transl = dense_poses(params, data, shapes)
 
         # deskew: one gather + batched rotate (updateGlobalPoints,
-        # ContinuousTrajectory.h:129-156), in f32 like the reference
-        R_dense = rot.axang2rotm(d_orient).astype(jnp.float32)  # [D,3,3]
+        # ContinuousTrajectory.h:129-156), in f32 like the reference.
+        # Quaternion form: gathers a [D,4] table instead of [D,3,3] rotation
+        # matrices — 9x -> 4x less memory for the optimizer's batched
+        # line-search / Jacobian-tangent evaluations.
+        q_dense = rot.axang2quat(d_orient).astype(jnp.float32)  # [D,4]
         t_dense = d_transl.astype(jnp.float32)
-        Rp = R_dense[data.pt_tform_idx]  # [NW,3,3]
+        qp = q_dense[data.pt_tform_idx]  # [NW,4]
         tp = t_dense[data.pt_tform_idx]
-        pts_w = jnp.einsum("nij,nj->ni", Rp, data.local_pts) + tp
+        pts_w = rot.quat_rotate(qp, data.local_pts) + tp
 
         points = jnp.concatenate([pts_w, data.static_pts], axis=0)
         mask = jnp.concatenate([data.pt_mask, data.static_mask])
