@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from dmsa_lidar_slam_tpu.ops import knn, voxel
+from dmsa_lidar_slam_tpu.ops import nn_bruteforce, voxel
 
 
 class StaticSelection(NamedTuple):
@@ -50,10 +50,9 @@ def select_static_points(
 ) -> StaticSelection:
     S, P, _ = kf_pts.shape
 
-    grid = knn.build_grid(window_pts, window_mask, min_grid)
     q = kf_pts.reshape(-1, 3)
     qm = kf_pt_mask.reshape(-1)
-    near = knn.has_neighbor_within(grid, q, qm, min_grid)
+    near = nn_bruteforce.has_neighbor_within(window_pts, window_mask, q, qm, min_grid)
 
     vis = visibility(curr_pos, kf_pts, kf_normals).reshape(-1)
     selected = near & vis & qm  # [S*P]
@@ -71,8 +70,10 @@ def select_static_points(
 
     # overlap of the window cloud against the active static points
     # (getOverlap, DmsaSlam.h:354,377-414)
-    sgrid = knn.build_grid(static_pts, out_mask, min_grid)
-    near_w = knn.has_neighbor_within(sgrid, window_pts, window_mask, min_grid) & window_mask
+    near_w = (
+        nn_bruteforce.has_neighbor_within(static_pts, out_mask, window_pts, window_mask, min_grid)
+        & window_mask
+    )
     overlap_fraction = jnp.where(
         num_active > 0,
         jnp.sum(near_w) / jnp.maximum(jnp.sum(window_mask), 1),
