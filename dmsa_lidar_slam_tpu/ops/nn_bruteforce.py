@@ -26,8 +26,6 @@ a [N, 3] f32 array pads its last dim to 128 lanes in VMEM (42x waste);
 
 from functools import partial
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
@@ -38,7 +36,7 @@ _PENALTY = jnp.float32(1e30)
 
 def _use_pallas() -> bool:
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover - backend probing never raises in practice
         return False
 
@@ -61,7 +59,9 @@ def _prep(ref_pts, ref_valid, queries):
     refc = jnp.sum(jnp.where(ref_valid[:, None], ref_pts, 0.0), axis=0) / jnp.maximum(
         jnp.sum(ref_valid), 1
     )
-    r = (ref_pts - refc).astype(jnp.float32)
+    # sanitize invalid slots: a NaN/Inf coordinate in a masked slot would
+    # otherwise poison every query's min through the matmul
+    r = jnp.where(ref_valid[:, None], ref_pts - refc, 0.0).astype(jnp.float32)
     q = (queries - refc).astype(jnp.float32)
 
     rn = jnp.sum(r * r, axis=1) + jnp.where(ref_valid, 0.0, _PENALTY)
@@ -97,17 +97,13 @@ def _kernel(refA_ref, qA_ref, qn_ref, out_ref):
 
 @partial(jax.jit, static_argnames=())
 def _pallas_min_sq_dist(refA, qA, qn):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     n_ref_tiles = refA.shape[1] // _TN
     n_q_tiles = qA.shape[1] // _TQ
     # x64 mode leaks i64 grid/index arithmetic into Mosaic (which rejects it:
     # "failed to legalize func.return"); the kernel is pure f32/i32, so trace
     # it with x64 off.
     with jax.enable_x64(False):
-        out = _call_pallas(n_q_tiles, n_ref_tiles, refA, qA, qn)
-    return out.reshape(-1)
+        return _call_pallas(n_q_tiles, n_ref_tiles, refA, qA, qn)
 
 
 def _call_pallas(n_q_tiles, n_ref_tiles, refA, qA, qn):
