@@ -33,7 +33,8 @@ def main():
         min_num_points_gauss_key=10,
         closest_k_keyframes_as_static_points=3,
         last_n_keyframes_for_optim=50,
-        dist_new_keyframe=1.5,
+        dist_new_keyframe=0.5,  # ~1 keyframe / 4 scans at bench speed, so the
+        # submap optimization + retirement paths carry real weight in the number
         use_imu=True,
         imu_factor_weight_submap=0.001,
         n_dense=501,
@@ -47,7 +48,7 @@ def main():
 
     sweep = seq.sweep
     n_warm = 10  # scans for jit warmup (excluded from timing)
-    n_bench = 30
+    n_bench = 40
 
     pts_per_scan = 20000  # raw points before downsampling
 

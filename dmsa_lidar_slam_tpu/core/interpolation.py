@@ -11,9 +11,70 @@ whole dense table is produced by two small matmuls + one batched slerp —
 no per-sample loops.
 """
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from dmsa_lidar_slam_tpu.core import rotations as rot
+
+
+def floater_hormann_weights_np(t_knots: np.ndarray, d: int = 2) -> np.ndarray:
+    """Host (numpy, f64) twin of floater_hormann_weights, for precomputing
+    compile-time constant interpolation operators (see uniform_grid_consts)."""
+    n = len(t_knots)
+    if n <= d:
+        d = n - 1
+    w = np.zeros(n)
+    for k in range(n):
+        s = 0.0
+        for i in range(max(k - d, 0), min(k, n - 1 - d) + 1):
+            prod = 1.0
+            for j in range(i, i + d + 1):
+                if j == k:
+                    continue
+                prod *= abs(t_knots[k] - t_knots[j])
+            s += 1.0 / prod
+        w[k] = s if (k - d) % 2 == 0 else -s
+    return w
+
+
+def barycentric_matrix_np(t_eval, t_knots, weights) -> np.ndarray:
+    """Host twin of barycentric_matrix (same exact-hit handling)."""
+    diff = t_eval[:, None] - t_knots[None, :]
+    exact = np.abs(diff) < 1e-12
+    any_exact = exact.any(axis=1, keepdims=True)
+    safe_diff = np.where(exact, 1.0, diff)
+    terms = weights[None, :] / safe_diff
+    A_smooth = terms / terms.sum(axis=1, keepdims=True)
+    A_exact = exact.astype(np.float64)
+    A_exact = A_exact / np.maximum(A_exact.sum(axis=1, keepdims=True), 1.0)
+    return np.where(any_exact, A_exact, A_smooth)
+
+
+def uniform_grid_consts(n_eval: int, n_knots: int, interval_len: int, d: int = 2):
+    """Constant interpolation operators for knots sitting exactly on a
+    uniform evaluation grid (knot k at sample k * interval_len).
+
+    The barycentric matrix A and the slerp bracket (left, right, u) are
+    invariant to the grid step dt (A's normalization cancels the dt
+    scaling of weights and differences), so for the sliding window — whose
+    control stamps always come from ctrl_stamps_from_dt — the whole dense
+    interpolation operator is a compile-time constant: translations become
+    ONE [E, K] matmul and orientations one constant-index gather + slerp.
+
+    Returns (A [E, K] f64, left [E] i32, right [E] i32, u [E] f64) numpy.
+    """
+    t_eval = np.arange(n_eval, dtype=np.float64)
+    t_knots = np.arange(n_knots, dtype=np.float64) * float(interval_len)
+    w = floater_hormann_weights_np(t_knots, d)
+    A = barycentric_matrix_np(t_eval, t_knots, w)
+    # slerp bracket, exactly as interp_rotations computes it
+    right = np.searchsorted(t_knots[:-1], t_eval, side="left").astype(np.int64)
+    right = np.clip(right, 0, n_knots - 1)
+    left = np.maximum(right - 1, 0)
+    denom = t_knots[right] - t_knots[left]
+    u = np.where(right > 0, (t_eval - t_knots[left]) / np.where(denom == 0, 1.0, denom), 1.0)
+    return A, left.astype(np.int32), right.astype(np.int32), u
 
 
 def floater_hormann_weights(t_knots: jnp.ndarray, d: int = 2) -> jnp.ndarray:

@@ -40,23 +40,32 @@ class GlobalPoses(NamedTuple):
 def relative2global(chain: PoseChain) -> GlobalPoses:
     """Sequential compose of the relative chain (ConsecutivePoses.h:26-43).
 
-    T_w_k = T_w_{k-1} * T_{k-1}_k with T_w_0 = (R(aa_0), t_0).
+    T_w_k = T_w_{k-1} * T_{k-1}_k with T_w_0 = (R(aa_0), t_0), expressed as
+    a log-depth associative scan over SE(3) composition — O(log N) batched
+    quaternion ops instead of an N-step while loop on device (the chain is
+    on the hot path of every optimizer residual evaluation).
     """
-    q_rel = rot.axang2quat(chain.orient)  # [N, 4]
-
-    def step(carry, inp):
-        q_acc, t_acc = carry
-        q_k, t_k = inp
-        # reference order: T = T + R * t_rel ; R = R * R_rel
-        t_new = t_acc + _rotate(q_acc, t_k)
-        q_new = rot.quat_mul(q_acc, q_k)
-        q_new = q_new / jnp.linalg.norm(q_new)
-        return (q_new, t_new), (q_new, t_new)
-
-    q0 = jnp.array([1.0, 0.0, 0.0, 0.0], dtype=chain.orient.dtype)
-    t0 = jnp.zeros(3, dtype=chain.transl.dtype)
-    (_, _), (q_glob, t_glob) = jax.lax.scan(step, (q0, t0), (q_rel, chain.transl))
+    q_glob, t_glob = compose_prefix(rot.axang2quat(chain.orient), chain.transl)
     return GlobalPoses(orient=rot.quat2axang(q_glob), transl=t_glob)
+
+
+def compose_prefix(q_rel, t_rel):
+    """Prefix SE(3) compositions of relative (quat [N,4], transl [N,3]).
+
+    combine((q1,t1),(q2,t2)) = (q1*q2, t1 + R(q1) t2) is associative, so
+    lax.associative_scan evaluates all prefixes in log2(N) batched rounds.
+    Quaternions are renormalized once at the end (the reference normalizes
+    per step; at chain lengths <= a few hundred the drift is ~ulp-level).
+    """
+
+    def combine(a, b):
+        qa, ta = a
+        qb, tb = b
+        return rot.quat_mul(qa, qb), ta + rot.quat_rotate(qa, tb)
+
+    q_glob, t_glob = jax.lax.associative_scan(combine, (q_rel, t_rel), axis=0)
+    q_glob = q_glob / jnp.linalg.norm(q_glob, axis=-1, keepdims=True)
+    return q_glob, t_glob
 
 
 def global2relative(gp: GlobalPoses) -> PoseChain:

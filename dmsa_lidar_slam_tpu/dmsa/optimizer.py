@@ -68,6 +68,14 @@ class OptimSettings:
     lambda_diag: float = 1e-5
     use_centralization: bool = True
     jacobian_chunk: int = 128  # params per jacfwd block (memory bound)
+    # line-search step fractions (adaptiveStepSize probes 0.1..0.9,
+    # DmsaOptimizer.h:152-182); the extra geometric fractions extend the
+    # grid downward because the frozen-cell landscape can have a much
+    # smaller descent region than 0.1*step — a strict superset of the
+    # reference's candidates, same argmin when the reference's grid suffices
+    line_search_fracs: tuple = (
+        0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.05, 0.02, 0.01, 0.005, 0.002,
+    )
 
 
 class OptimResult(NamedTuple):
@@ -86,15 +94,22 @@ def chunked_jacfwd(fn: Callable, params: jnp.ndarray, chunk: int) -> jnp.ndarray
     through the linearized function — unlike naive jacfwd/jvp-per-column,
     the nonlinear primal is not recomputed per tangent block.
     """
+    return value_and_jacfwd(fn, params, chunk)[1]
+
+
+def value_and_jacfwd(fn: Callable, params: jnp.ndarray, chunk: int):
+    """(fn(params), J) with one linearize: the primal pass that jax.linearize
+    performs doubles as the residual evaluation, saving a full forward pass
+    per optimizer iteration."""
     p = params.shape[0]
     eye = jnp.eye(p, dtype=params.dtype)
-    _, lin = jax.linearize(fn, params)
+    e0, lin = jax.linearize(fn, params)
 
     cols = []
     for start in range(0, p, chunk):
         block = eye[start : start + chunk]
         cols.append(jax.vmap(lin)(block))  # [chunk, R]
-    return jnp.concatenate(cols, axis=0).T  # [R, P]
+    return e0, jnp.concatenate(cols, axis=0).T  # [R], [R, P]
 
 
 @partial(jax.jit, static_argnums=(0, 3))
@@ -148,10 +163,10 @@ def optimize(
         n_gauss = sum((c.num_valid for c in cells), jnp.array(0))
 
         res_fn = lambda p: residuals(p, cells, data)
-        e0 = res_fn(params)
+        # ONE linearize: its primal pass doubles as the e0 evaluation
+        e0, J = value_and_jacfwd(res_fn, params, settings.jacobian_chunk)
         error0 = jnp.dot(e0, e0)
 
-        J = chunked_jacfwd(res_fn, params, settings.jacobian_chunk)
         H = J.T @ J
         H = H + settings.lambda_diag * jnp.eye(num_params, dtype=H.dtype)
         g = J.T @ e0
@@ -168,18 +183,9 @@ def optimize(
             step,
         )
 
-        # line search, one vmap (DmsaOptimizer.h:152-182).  The reference
-        # probes 0.1..0.9 of the step; we extend the grid downward with
-        # geometric fractions because the within-iteration (frozen-cell)
-        # landscape can have a much smaller descent region than 0.1*step —
-        # a strict superset of the reference's candidates, same argmin when
-        # the reference's grid suffices.
-        ks = jnp.concatenate(
-            [
-                0.1 * jnp.arange(1, 10, dtype=params.dtype),
-                jnp.asarray([0.05, 0.02, 0.01, 0.005, 0.002], dtype=params.dtype),
-            ]
-        )
+        # line search, one vmap (DmsaOptimizer.h:152-182); candidate grid
+        # from settings.line_search_fracs (reference grid or a superset)
+        ks = jnp.asarray(settings.line_search_fracs, dtype=params.dtype)
         cand_params = params[None, :] + ks[:, None] * step[None, :]
         cand_err = jax.vmap(lambda p: (lambda e: jnp.dot(e, e))(res_fn(p)))(cand_params)
         all_err = jnp.concatenate([error0[None], cand_err])

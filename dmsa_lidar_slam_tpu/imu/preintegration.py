@@ -78,8 +78,8 @@ def step(state: PreintState, omega, acc, dt, cov_gyr, cov_acc) -> PreintState:
     return PreintState(delta_rot=delta_rot, delta_vel=delta_vel, delta_pos=delta_pos, cov=cov)
 
 
-def preintegrate(omega, acc, dt, cov_gyr, cov_acc) -> PreintState:
-    """Integrate a [T, 3] gyro/accel sample run with constant step dt."""
+def preintegrate_sequential(omega, acc, dt, cov_gyr, cov_acc) -> PreintState:
+    """Reference-shaped sequential integration (golden oracle for tests)."""
 
     def body(state, meas):
         w, a = meas
@@ -88,6 +88,81 @@ def preintegrate(omega, acc, dt, cov_gyr, cov_acc) -> PreintState:
     state0 = init_state(dtype=omega.dtype)
     state, _ = jax.lax.scan(body, state0, (omega, acc))
     return state
+
+
+def preintegrate(omega, acc, dt, cov_gyr, cov_acc) -> PreintState:
+    """Integrate a [T, 3] gyro/accel sample run with constant step dt.
+
+    Log-depth formulation: preintegrated deltas form a semidirect-product
+    monoid —
+        (dR, dv, dp, T1) * (dR2, dv2, dp2, T2)
+          = (dR dR2, dv + dR dv2, dp + dv T2 + dR dp2, T1 + T2)
+    — so the whole run reduces in log2(T) batched rounds instead of a
+    T-step while loop (the reference's per-sample loop,
+    ImuPreintegration.h:53-94, costs ~T * launch-overhead on TPU).  The
+    covariance recursion cov <- A cov A^T + B N B^T is likewise composed
+    associatively over (A, Q) pairs: (A2 A1, A2 Q1 A2^T + Q2), with each
+    sample's A/B built from the exclusive-prefix rotation.  Bitwise math
+    matches preintegrate_sequential up to f.p. reassociation.
+    """
+    dtype = omega.dtype
+    T = omega.shape[0]
+    dt = jnp.asarray(dt, dtype)
+    rot_incr = rot.axang2rotm(dt * omega)  # [T, 3, 3]
+    dv_loc = acc * dt
+    dp_loc = 0.5 * acc * dt * dt
+    seg_t = jnp.broadcast_to(dt, (T,))
+
+    def combine(s1, s2):
+        R1, v1, p1, t1 = s1
+        R2, v2, p2, t2 = s2
+        R = jnp.einsum("...ij,...jk->...ik", R1, R2)
+        v = v1 + jnp.einsum("...ij,...j->...i", R1, v2)
+        p = p1 + v1 * t2[..., None] + jnp.einsum("...ij,...j->...i", R1, p2)
+        return R, v, p, t1 + t2
+
+    Rp, vp, pp, _ = jax.lax.associative_scan(combine, (rot_incr, dv_loc, dp_loc, seg_t), axis=0)
+
+    # state rotation BEFORE each sample (exclusive prefix)
+    eye3 = jnp.eye(3, dtype=dtype)
+    dR_before = jnp.concatenate([eye3[None], Rp[:-1]], axis=0)  # [T, 3, 3]
+
+    # per-sample transition A_k and noise Q_k = B_k N B_k^T (batched)
+    dt2 = dt * dt
+    skew_acc = rot.skew(acc)  # [T, 3, 3]
+    dRsa = jnp.einsum("tij,tjk->tik", dR_before, skew_acc)
+    Z = jnp.zeros((T, 3, 3), dtype)
+    I = jnp.broadcast_to(eye3, (T, 3, 3))
+    A = jnp.concatenate(
+        [
+            jnp.concatenate([jnp.swapaxes(rot_incr, -1, -2), Z, Z], axis=2),
+            jnp.concatenate([-dRsa * dt, I, Z], axis=2),
+            jnp.concatenate([-0.5 * dRsa * dt2, I * dt, I], axis=2),
+        ],
+        axis=1,
+    )  # [T, 9, 9]
+
+    Jr = right_jacobian(rot.rotm2axang(dR_before)) * dt  # [T, 3, 3]
+    B = jnp.concatenate(
+        [
+            jnp.concatenate([Jr, Z], axis=2),
+            jnp.concatenate([Z, dR_before * dt], axis=2),
+            jnp.concatenate([Z, 0.5 * dR_before * dt2], axis=2),
+        ],
+        axis=1,
+    )  # [T, 9, 6]
+    noise = jnp.zeros((6, 6), dtype).at[0:3, 0:3].set(cov_gyr).at[3:6, 3:6].set(cov_acc)
+    Q = jnp.einsum("tij,jk,tlk->til", B, noise, B)  # [T, 9, 9]
+
+    def combine_cov(a, b):
+        A1, Q1 = a
+        A2, Q2 = b
+        A12 = jnp.einsum("...ij,...jk->...ik", A2, A1)
+        Q12 = jnp.einsum("...ij,...jk,...lk->...il", A2, Q1, A2) + Q2
+        return A12, Q12
+
+    _, Q_all = jax.lax.associative_scan(combine_cov, (A, Q), axis=0)
+    return PreintState(delta_rot=Rp[-1], delta_vel=vp[-1], delta_pos=pp[-1], cov=Q_all[-1])
 
 
 def preintegrate_intervals(omega, acc, dt, cov_gyr, cov_acc) -> PreintState:

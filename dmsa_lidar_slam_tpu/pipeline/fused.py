@@ -797,6 +797,13 @@ class FusedDmsaSlam:
             out.append(pts[k][msk[k]] @ R.T + transl[k].astype(np.float32))
         return np.concatenate(out) if out else None
 
+    def all_poses(self):
+        """Full merged trajectory (retired + live keyframes + non-keyframe
+        poses, insertion order) as (stamps, transl [n,3], orient [n,3])."""
+        self._flush_events()
+        stamps, transl, orient = self.keyframe_poses()
+        return self.output.dense_poses_list(stamps, transl, orient)
+
     def save_poses(self, result_dir: str) -> str:
         self._flush_events()
         stamps, transl, orient = self.keyframe_poses()

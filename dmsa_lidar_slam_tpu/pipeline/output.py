@@ -74,18 +74,15 @@ class OutputManager:
         ).as_rotvec()
         nk.relative = False
 
-    def save_dense_poses(
+    def dense_poses_list(
         self,
         active_kf_stamps: np.ndarray,
         active_kf_transl: np.ndarray,
         active_kf_orient: np.ndarray,
-        result_dir: str,
-        prefix: str = "",
-    ) -> str:
-        """Write Poses<prefix>.txt (saveDensePoses, OutputManagement.h:98-180)."""
-        os.makedirs(result_dir, exist_ok=True)
-        path = os.path.join(result_dir, f"Poses{prefix}.txt")
-        lines = []
+    ):
+        """The merged trajectory in insertion order (saveDensePoses semantics,
+        OutputManagement.h:98-180) as (stamps [n], transl [n,3], orient [n,3])."""
+        out = []
         key_id = 0
         nsk = self.num_static_keyframes
         non_key_iter = iter(self.non_keyframes)
@@ -93,13 +90,15 @@ class OutputManager:
             if is_key:
                 if key_id < nsk:
                     stamp, t, o = self.static_keyframes[key_id]
-                    lines.append(self._tum_line(stamp, t, o))
+                    out.append((stamp, t, o))
                 else:
                     j = key_id - nsk
                     if j < len(active_kf_stamps):
-                        lines.append(
-                            self._tum_line(
-                                active_kf_stamps[j], active_kf_transl[j], active_kf_orient[j]
+                        out.append(
+                            (
+                                float(active_kf_stamps[j]),
+                                np.array(active_kf_transl[j], float),
+                                np.array(active_kf_orient[j], float),
                             )
                         )
                 key_id += 1
@@ -115,9 +114,31 @@ class OutputManager:
                         orient = Rotation.from_matrix(
                             R @ Rotation.from_rotvec(nk.orient).as_matrix()
                         ).as_rotvec()
-                        lines.append(self._tum_line(nk.stamp, pos, orient))
+                        out.append((nk.stamp, pos, orient))
                 else:
-                    lines.append(self._tum_line(nk.stamp, nk.transl, nk.orient))
+                    out.append((nk.stamp, nk.transl, nk.orient))
+        if not out:
+            return np.zeros(0), np.zeros((0, 3)), np.zeros((0, 3))
+        stamps = np.array([s for s, _, _ in out])
+        transl = np.stack([t for _, t, _ in out])
+        orient = np.stack([o for _, _, o in out])
+        return stamps, transl, orient
+
+    def save_dense_poses(
+        self,
+        active_kf_stamps: np.ndarray,
+        active_kf_transl: np.ndarray,
+        active_kf_orient: np.ndarray,
+        result_dir: str,
+        prefix: str = "",
+    ) -> str:
+        """Write Poses<prefix>.txt (saveDensePoses, OutputManagement.h:98-180)."""
+        os.makedirs(result_dir, exist_ok=True)
+        path = os.path.join(result_dir, f"Poses{prefix}.txt")
+        stamps, transl, orient = self.dense_poses_list(
+            active_kf_stamps, active_kf_transl, active_kf_orient
+        )
+        lines = [self._tum_line(s, t, o) for s, t, o in zip(stamps, transl, orient)]
         with open(path, "w") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
         return path

@@ -111,12 +111,22 @@ def dense_poses_jit(params, data, shapes: WindowShapes):
     return _dense_poses_jit(shapes)(params, data)
 
 
-def dense_poses(params, data: WindowData, shapes: WindowShapes):
-    """Control chain -> dense pose table (updateTrajDenseTforms,
-    ContinuousTrajectory.h:189-226).
+@lru_cache(maxsize=None)
+def _uniform_consts(shapes: WindowShapes):
+    return interp.uniform_grid_consts(shapes.n_dense, shapes.n_ctrl, shapes.interval_len, d=2)
 
-    Returns (chain, global control poses, dense orient [D,3], dense transl
-    [D,3]) in pose dtype.
+
+def dense_pose_tables(params, data: WindowData, shapes: WindowShapes):
+    """Control chain -> dense pose table (updateTrajDenseTforms,
+    ContinuousTrajectory.h:189-226), as (chain, gp, q_dense [D,4],
+    d_transl [D,3]).
+
+    Control stamps ALWAYS sit on the uniform dense grid (WindowShapes
+    asserts it; ctrl_stamps come from ctrl_stamps_from_dt), so the
+    barycentric matrix and slerp brackets are dt-invariant compile-time
+    constants: translations are one [D, C] matmul and orientations one
+    constant gather + batched slerp — instead of the ~200-op generic
+    interpolation chain, on the hot path of every residual evaluation.
     """
     anchor = cp.PoseChain(
         orient=data.anchor_orient[None, :], transl=data.anchor_transl[None, :]
@@ -127,10 +137,19 @@ def dense_poses(params, data: WindowData, shapes: WindowShapes):
     )
     chain = cp.chain_from_params(params, full_anchor)
     gp = cp.relative2global(chain)
-    t_eval = dense_times(data, shapes)
-    d_orient = interp.interp_rotations(t_eval, data.ctrl_stamps, gp.orient)
-    d_transl = interp.barycentric_interp(t_eval, data.ctrl_stamps, gp.transl, d=2)
-    return chain, gp, d_orient, d_transl
+    A_np, left, right, u = _uniform_consts(shapes)
+    pdt = gp.transl.dtype
+    d_transl = jnp.asarray(A_np, dtype=pdt) @ gp.transl  # [D, 3]
+    q = rot.axang2quat(gp.orient)  # [C, 4]
+    q_dense = rot.quat_slerp(q[left], q[right], jnp.asarray(u, dtype=pdt))
+    return chain, gp, q_dense, d_transl
+
+
+def dense_poses(params, data: WindowData, shapes: WindowShapes):
+    """As dense_pose_tables but with dense orientations as axis-angle [D,3]
+    (compatibility form for consumers that want rotvecs)."""
+    chain, gp, q_dense, d_transl = dense_pose_tables(params, data, shapes)
+    return chain, gp, rot.quat2axang(q_dense), d_transl
 
 
 @lru_cache(maxsize=None)
@@ -138,14 +157,14 @@ def make_forward(shapes: WindowShapes, use_imu: bool):
     """Build the ForwardOut function for the optimizer (static per shapes)."""
 
     def forward(params, data: WindowData) -> ForwardOut:
-        chain, gp, d_orient, d_transl = dense_poses(params, data, shapes)
+        chain, gp, q_raw, d_transl = dense_pose_tables(params, data, shapes)
 
         # deskew: one gather + batched rotate (updateGlobalPoints,
         # ContinuousTrajectory.h:129-156), in f32 like the reference.
         # Quaternion form: gathers a [D,4] table instead of [D,3,3] rotation
         # matrices — 9x -> 4x less memory for the optimizer's batched
         # line-search / Jacobian-tangent evaluations.
-        q_dense = rot.axang2quat(d_orient).astype(jnp.float32)  # [D,4]
+        q_dense = q_raw.astype(jnp.float32)  # [D,4]
         t_dense = d_transl.astype(jnp.float32)
         qp = q_dense[data.pt_tform_idx]  # [NW,4]
         tp = t_dense[data.pt_tform_idx]
