@@ -11,12 +11,20 @@ Schur-complement-style reduction recommended in SURVEY §7.
 Differences vs the single-chip path (ops.gaussians):
   - cell identity is a spatial hash mod `table_size` instead of sorted
     unique keys; rare collisions merge distant voxels (probability ~
-    n_cells / table_size) — a documented approximation, acceptable because
-    merged cells simply contribute a conservative joint covariance;
-  - the ring-diversity test uses per-cell ring min/max like the reference.
+    n_cells / table_size) — a documented approximation, quantified against
+    the exact sorted-cell path in tests/test_sharded.py;
+  - the ring-diversity test uses per-cell ring min/max like the reference
+    (DmsaOptimizer.h:304-307).
 
-Used by dryrun_multichip (driver validation) and the multi-host keyframe
-adjustment.
+Problem hooks (both receive the replicated `aux` pytree, so one compiled
+step serves every submap/window instance of the same shapes):
+  transform_fn(params, local_pts, aux) -> global points [n_local, 3]
+  extra_fn(params, aux) -> replicated additional residuals (IMU / gravity /
+  odometry terms; MapManagement.h:210-252 analogues)
+
+Used by dryrun_multichip (driver validation), the multi-host keyframe
+adjustment (parallel.keyframe_dist), and the pipeline's
+`distributed_keyframe_opt` path.
 """
 
 from functools import partial
@@ -30,6 +38,10 @@ from dmsa_lidar_slam_tpu.ops.gaussians import COV_EIG_FLOOR, info_from_cov
 
 # large primes for the spatial hash
 _P1, _P2, _P3 = 73856093, 19349663, 83492791
+
+DEFAULT_LINE_SEARCH_FRACS = (
+    0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.05, 0.02, 0.01,
+)
 
 
 def hash_cell_ids(points, mask, grid_size, table_size: int):
@@ -113,6 +125,74 @@ def cell_residuals_sharded(points, mask, cid, cells: ShardedCells, table_size, a
     return jnp.where(cells.valid, jnp.sqrt(jnp.abs(val) + 1e-30), 0.0)
 
 
+def _gn_iteration(
+    transform_fn,
+    params,
+    local_pts,
+    mask,
+    rings,
+    aux,
+    grid_sizes,
+    min_points,
+    table_size,
+    lambda_diag,
+    step_length,
+    max_step,
+    axis_name,
+    extra_fn,
+    line_search_fracs,
+):
+    """One damped GN iteration with frozen cells (shared by the one-shot
+    step and the fused optimize loop).  Returns (new_params, improved,
+    best_error, error0, step_norm, num_cells)."""
+
+    def residuals(p, cells_and_cids):
+        pts = transform_fn(p, local_pts, aux)
+        parts = [
+            cell_residuals_sharded(pts, mask, cid, cells, table_size, axis_name)
+            for cells, cid in cells_and_cids
+        ]
+        if extra_fn is not None:
+            parts.append(extra_fn(p, aux))
+        return jnp.concatenate(parts)
+
+    pts0 = transform_fn(params, local_pts, aux)
+    cells_and_cids = tuple(
+        build_cells_sharded(pts0, mask, rings, g, min_points, table_size, axis_name)
+        for g in grid_sizes
+    )
+
+    res_fn = lambda p: residuals(p, cells_and_cids)
+    num_params = params.shape[0]
+    eye = jnp.eye(num_params, dtype=params.dtype)
+    # one linearize: its primal pass doubles as the e0 evaluation
+    e0, lin = jax.linearize(res_fn, params)
+    J = jax.vmap(lin)(eye).T  # [R, P]
+
+    H = J.T @ J + lambda_diag * jnp.eye(num_params, dtype=params.dtype)
+    g = J.T @ e0
+    step = -step_length * jnp.linalg.solve(H, g)
+    nan_step = jnp.any(jnp.isnan(step))
+    step = jnp.where(nan_step, jnp.zeros_like(step), step)
+    max_elem = jnp.max(jnp.abs(step))
+    step = jnp.where(max_elem > max_step, (max_step / jnp.maximum(max_elem, 1e-30)) * step, step)
+
+    # line search (vmapped, replicated params; per-candidate psums inside)
+    ks = jnp.asarray(line_search_fracs, dtype=params.dtype)
+    cand = params[None, :] + ks[:, None] * step[None, :]
+    errs = jax.vmap(lambda p: (lambda e: jnp.dot(e, e))(res_fn(p)))(cand)
+    error0 = jnp.dot(e0, e0)
+    all_err = jnp.concatenate([error0[None], errs])
+    best = jnp.argmin(all_err)
+    improved = (best > 0) & ~nan_step
+    new_params = jnp.where(improved, cand[jnp.maximum(best - 1, 0)], params)
+    num_cells = sum(c.num_valid for c, _ in cells_and_cids)
+    # error dtype follows the residual parts (f32 cells vs pose-dtype
+    # extras); pin to the params dtype so loop carries are stable
+    best_err = all_err[best].astype(params.dtype)
+    return new_params, improved, best_err, error0.astype(params.dtype), jnp.linalg.norm(step), num_cells
+
+
 def sharded_gn_step(
     transform_fn,
     params,
@@ -127,57 +207,102 @@ def sharded_gn_step(
     max_step: float,
     axis_name: str = "data",
     extra_fn=None,
+    aux=None,
+    line_search_fracs=DEFAULT_LINE_SEARCH_FRACS,
 ):
     """One damped GN step with points sharded over `axis_name`.
 
-    transform_fn(params, local_pts) -> global points [n_local, 3]: the
+    transform_fn(params, local_pts, aux) -> global points [n_local, 3]: the
     problem's deskew/compose, differentiable in params (may use
-    jax.lax.axis_index(axis_name) to identify its shard).  extra_fn(params)
-    -> replicated additional residuals (IMU / gravity / odometry terms).
+    jax.lax.axis_index(axis_name) to identify its shard).
+    extra_fn(params, aux) -> replicated additional residuals.
     Cell build, the residual, and J^T J / J^T r reductions all ride psum;
     the small solve is replicated.  Call inside shard_map (or via
     `make_sharded_step`).
     """
-
-    def residuals(p, cells_and_cids):
-        pts = transform_fn(p, local_pts)
-        parts = [
-            cell_residuals_sharded(pts, mask, cid, cells, table_size, axis_name)
-            for cells, cid in cells_and_cids
-        ]
-        if extra_fn is not None:
-            parts.append(extra_fn(p))
-        return jnp.concatenate(parts)
-
-    pts0 = transform_fn(params, local_pts)
-    cells_and_cids = tuple(
-        build_cells_sharded(pts0, mask, rings, g, min_points, table_size, axis_name)
-        for g in grid_sizes
+    new_params, improved, best_err, _, _, num_cells = _gn_iteration(
+        transform_fn,
+        params,
+        local_pts,
+        mask,
+        rings,
+        aux,
+        grid_sizes,
+        min_points,
+        table_size,
+        lambda_diag,
+        step_length,
+        max_step,
+        axis_name,
+        extra_fn,
+        line_search_fracs,
     )
+    return new_params, best_err, num_cells
 
-    res_fn = lambda p: residuals(p, cells_and_cids)
-    e0 = res_fn(params)
 
-    num_params = params.shape[0]
-    eye = jnp.eye(num_params, dtype=params.dtype)
-    J = jax.vmap(lambda t: jax.jvp(res_fn, (params,), (t,))[1])(eye).T  # [R, P]
+def sharded_optimize(
+    transform_fn,
+    params0,
+    local_pts,
+    mask,
+    rings,
+    aux,
+    grid_sizes,
+    num_iter: int,
+    min_points: int,
+    table_size: int,
+    lambda_diag: float,
+    step_length: float,
+    max_step: float,
+    epsilon: float = 1e-5,
+    axis_name: str = "data",
+    extra_fn=None,
+    line_search_fracs=DEFAULT_LINE_SEARCH_FRACS,
+):
+    """Full DMSA optimization loop under shard_map: per-iteration cell
+    rebuild, damped GN step, line search, and the reference's stop criteria
+    (no-improvement / ||step|| < epsilon, DmsaOptimizer.h:130-143) — one
+    dispatch for the whole optimization.  Returns (params, num_iters,
+    final_error, num_cells)."""
 
-    H = J.T @ J + lambda_diag * jnp.eye(num_params, dtype=params.dtype)
-    g = J.T @ e0
-    step = -step_length * jnp.linalg.solve(H, g)
-    max_elem = jnp.max(jnp.abs(step))
-    step = jnp.where(max_elem > max_step, (max_step / jnp.maximum(max_elem, 1e-30)) * step, step)
+    def body(i, carry):
+        params, done, err, iters, ncells = carry
 
-    # line search (vmapped, replicated params; per-candidate psums inside)
-    ks = jnp.concatenate(
-        [0.1 * jnp.arange(1, 10, dtype=params.dtype), jnp.asarray([0.05, 0.02, 0.01], params.dtype)]
+        def run(_):
+            p, improved, best_err, _, step_norm, nc = _gn_iteration(
+                transform_fn,
+                params,
+                local_pts,
+                mask,
+                rings,
+                aux,
+                grid_sizes,
+                min_points,
+                table_size,
+                lambda_diag,
+                step_length,
+                max_step,
+                axis_name,
+                extra_fn,
+                line_search_fracs,
+            )
+            stop = (~improved) | (step_norm < epsilon)
+            return (p, stop, best_err, iters + 1, nc.astype(jnp.int32))
+
+        def skip(_):
+            return carry
+
+        return jax.lax.cond(done, skip, run, None)
+
+    init = (
+        params0,
+        jnp.array(False),
+        jnp.array(jnp.inf, dtype=params0.dtype),
+        jnp.array(0, jnp.int32),
+        jnp.array(0, jnp.int32),
     )
-    cand = params[None, :] + ks[:, None] * step[None, :]
-    errs = jax.vmap(lambda p: (lambda e: jnp.dot(e, e))(res_fn(p)))(cand)
-    all_err = jnp.concatenate([jnp.dot(e0, e0)[None], errs])
-    best = jnp.argmin(all_err)
-    new_params = jnp.where(best > 0, cand[jnp.maximum(best - 1, 0)], params)
-    return new_params, all_err[best], sum(c.num_valid for c, _ in cells_and_cids)
+    params, done, err, iters, ncells = jax.lax.fori_loop(0, num_iter, body, init)
+    return params, iters, err, ncells
 
 
 def make_sharded_step(
@@ -190,15 +315,17 @@ def make_sharded_step(
     max_step,
     grid_sizes,
     extra_fn=None,
+    line_search_fracs=DEFAULT_LINE_SEARCH_FRACS,
 ):
     """jit-compiled shard_map wrapper of sharded_gn_step.
 
-    Inputs: params replicated; local_pts/mask/rings sharded on leading axis.
-    Returns (new_params, best_error, num_cells) replicated.
+    Inputs: params replicated; local_pts/mask/rings sharded on leading
+    axis; aux replicated pytree (pass None-free pytrees only; use () when
+    unused).  Returns (new_params, best_error, num_cells) replicated.
     """
     axis = mesh.axis_names[0]
 
-    def step(params, local_pts, mask, rings):
+    def step(params, local_pts, mask, rings, aux):
         return sharded_gn_step(
             transform_fn,
             params,
@@ -213,13 +340,71 @@ def make_sharded_step(
             max_step,
             axis_name=axis,
             extra_fn=extra_fn,
+            aux=aux,
+            line_search_fracs=line_search_fracs,
         )
 
     sharded = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_optimize(
+    mesh: Mesh,
+    transform_fn,
+    num_iter,
+    min_points,
+    table_size,
+    lambda_diag,
+    step_length,
+    max_step,
+    epsilon=1e-5,
+    extra_fn=None,
+    line_search_fracs=DEFAULT_LINE_SEARCH_FRACS,
+    n_grids: int = 2,
+):
+    """jit-compiled shard_map wrapper of the full optimization loop.
+
+    The compiled function signature is
+        opt(params0, local_pts, mask, rings, aux, grid_sizes)
+    with grid_sizes a TRACED [n_grids] vector (so one compiled step serves
+    every submap min_grid).  Build ONCE per (mesh, shapes); reuse across
+    scans/submaps.
+    """
+    axis = mesh.axis_names[0]
+
+    def run(params0, local_pts, mask, rings, aux, grid_sizes):
+        grids = tuple(grid_sizes[i] for i in range(n_grids))
+        return sharded_optimize(
+            transform_fn,
+            params0,
+            local_pts,
+            mask,
+            rings,
+            aux,
+            grids,
+            num_iter,
+            min_points,
+            table_size,
+            lambda_diag,
+            step_length,
+            max_step,
+            epsilon=epsilon,
+            axis_name=axis,
+            extra_fn=extra_fn,
+            line_search_fracs=line_search_fracs,
+        )
+
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -91,7 +91,7 @@ def test_sharded_gn_converges(mesh, rng):
     # sharding them alongside (here: pass per-shard slice via closure index)
     sid_global = jnp.asarray(scan_id)
 
-    def transform(params, local_pts):
+    def transform(params, local_pts, aux):
         # inside shard_map the leading axis is the local shard; scan ids
         # pattern repeats [0,1,0,1,...] so recompute locally
         m = local_pts.shape[0]
@@ -122,7 +122,7 @@ def test_sharded_gn_converges(mesh, rng):
     mask_s = jnp.ones(n, dtype=bool)
     rings_s = jnp.asarray(rings)
     for _ in range(10):
-        params, err, ncells = step_fn(params, pts_s, mask_s, rings_s)
+        params, err, ncells = step_fn(params, pts_s, mask_s, rings_s, ())
     got = np.asarray(params)
     assert int(ncells) > 20
     err0 = np.linalg.norm(init - true_params)
@@ -136,7 +136,7 @@ def test_sharded_matches_single_device(mesh, rng):
     pdt = pose_dtype()
     n = len(local)
 
-    def transform(params, local_pts):
+    def transform(params, local_pts, aux):
         m = local_pts.shape[0]
         sid = (jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).squeeze(-1)) % 2
         R0 = rot.axang2rotm(jnp.asarray(anchor[0], dtype=pdt))
@@ -156,7 +156,7 @@ def test_sharded_matches_single_device(mesh, rng):
     f_single = sharded.make_sharded_step(mesh1, transform, **common)
 
     init = jnp.asarray(true_params + 0.05, dtype=pdt)
-    args = (jnp.asarray(local), jnp.ones(n, dtype=bool), jnp.asarray(rings))
+    args = (jnp.asarray(local), jnp.ones(n, dtype=bool), jnp.asarray(rings), ())
     p_m, e_m, c_m = f_multi(init, *args)
     p_s, e_s, c_s = f_single(init, *args)
     assert int(c_m) == int(c_s)
