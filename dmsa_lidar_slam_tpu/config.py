@@ -81,6 +81,14 @@ class Config:
     # map view written next to the results (pipeline/viz.py)
     live_view: bool = False
 
+    # --- TPU-build specific: distributed keyframe adjustment ------------
+    # route keyframeOptimization (DmsaSlam.h:212-238) through the sharded
+    # GN loop over jax.devices() (parallel.keyframe_dist) instead of the
+    # single-chip optimizer — BASELINE config 5's multi-device shape
+    distributed_keyframe_opt: bool = False
+    dist_table_size: int = 65536  # hash-cell table per grid resolution
+    # (owner election drops ~occupied_voxels/2T of cells; size ~10x voxels)
+
     # --- TPU-build specific shape caps (padding discipline) ---
     scan_cap_factor: float = 2.0  # per-scan capacity = factor * max_num_points
     n_dense: int = 501  # dense pose table length per window

@@ -122,7 +122,7 @@ def make_keyframe_dist_step(
     n_keyframes: int,
     n_pts_per_kf: int,
     min_points: int = 6,
-    table_size: int = 8192,
+    table_size: int = 32768,
     lambda_diag: float = 1e-5,
     step_length: float = 0.2,
     max_step: float = 0.01,
@@ -195,7 +195,7 @@ def make_keyframe_dist_optimize(
     shapes: kfm.MapShapes,
     num_iter: int = 10,
     min_points: int = 6,
-    table_size: int = 8192,
+    table_size: int = 32768,
     lambda_diag: float = 1e-5,
     step_length: float = 0.2,
     max_step: float = 0.01,

@@ -10,9 +10,13 @@ Schur-complement-style reduction recommended in SURVEY §7.
 
 Differences vs the single-chip path (ops.gaussians):
   - cell identity is a spatial hash mod `table_size` instead of sorted
-    unique keys; rare collisions merge distant voxels (probability ~
-    n_cells / table_size) — a documented approximation, quantified against
-    the exact sorted-cell path in tests/test_sharded.py;
+    unique keys.  COLLIDED slots (two voxels hashing to one slot) elect an
+    OWNER voxel (lexicographic min of the exact voxel key, two psum'd
+    segment-min rounds); only the owner's points contribute, so surviving
+    cells are EXACT — the approximation is that losing voxels (expected
+    fraction ~ occupied_voxels / 2 table_size) lose their constraint for
+    that iteration, never that distant voxels merge.  Quantified against
+    the exact sorted-cell path in tests/test_approximations.py;
   - the ring-diversity test uses per-cell ring min/max like the reference
     (DmsaOptimizer.h:304-307).
 
@@ -45,15 +49,55 @@ DEFAULT_LINE_SEARCH_FRACS = (
 
 
 def hash_cell_ids(points, mask, grid_size, table_size: int):
-    """Spatial-hash cell id per point: hash(voxel coords) mod table_size.
+    """Spatial-hash cell id per point: murmur-mixed voxel coords mod
+    table_size.  (The classic XOR-of-prime-multiples hash clusters badly at
+    the small coordinate ranges of indoor scenes — measured 1.9x the
+    birthday-bound collisions; the 2-round finalizer is measured at the
+    uniform-hash bound.)
 
     Invalid points map to table_size - 1 (shared junk slot; masked out of
     every reduction by weight 0).
     """
     c = jnp.floor(points / grid_size).astype(jnp.int32)
-    h = (c[:, 0] * _P1) ^ (c[:, 1] * _P2) ^ (c[:, 2] * _P3)
-    h = jnp.abs(h) % (table_size - 1)
+    h = (c[:, 0] * _P1 + c[:, 1] * _P2 + c[:, 2] * _P3).astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    h = (h % jnp.uint32(table_size - 1)).astype(jnp.int32)
     return jnp.where(mask, h, table_size - 1)
+
+
+def _voxel_check_keys(points, mask, grid_size):
+    """Two exact per-point voxel keys (hi, lo) for slot-owner election:
+    the pair losslessly encodes the voxel coordinates (like
+    ops.voxel.voxel_keys), so distinct voxels sharing a table slot always
+    differ in (hi, lo)."""
+    c = jnp.floor(points / grid_size).astype(jnp.int32) + (1 << 14)
+    hi = (c[:, 0] << 16) | (c[:, 1] & 0xFFFF)
+    lo = c[:, 2]
+    big = jnp.iinfo(jnp.int32).max
+    hi = jnp.where(mask, hi, big)
+    lo = jnp.where(mask, lo, big)
+    return hi, lo
+
+
+def elect_slot_owners(points, mask, cid, grid_size, table_size, axis_name):
+    """Per-point keep mask: True iff the point's exact voxel key is the
+    lexicographic minimum over its hash slot (two psum'd segment-min
+    rounds, pure int32).  Collided slots keep exactly one voxel's points."""
+    hi, lo = _voxel_check_keys(points, mask, grid_size)
+    big = jnp.iinfo(jnp.int32).max
+    owner_hi = jax.lax.pmin(
+        jax.ops.segment_min(hi, cid, num_segments=table_size), axis_name
+    )
+    is_owner_hi = hi == owner_hi[cid]
+    lo_cand = jnp.where(is_owner_hi & mask, lo, big)
+    owner_lo = jax.lax.pmin(
+        jax.ops.segment_min(lo_cand, cid, num_segments=table_size), axis_name
+    )
+    return mask & is_owner_hi & (lo == owner_lo[cid])
 
 
 def _partial_first_moments(points, w, cid, rings, table_size):
@@ -81,8 +125,9 @@ def build_cells_sharded(points, mask, rings, grid_size, min_points, table_size, 
     cancel catastrophically (cov ~1e-4 under coordinates ~10 m) and the
     floored inverse amplifies that noise by 1/floor^2.
     """
-    w = mask.astype(points.dtype)
     cid = hash_cell_ids(points, mask, grid_size, table_size)
+    keep = elect_slot_owners(points, mask, cid, grid_size, table_size, axis_name)
+    w = keep.astype(points.dtype)
     count, psum_, rmin, rmax = _partial_first_moments(points, w, cid, rings, table_size)
     count = jax.lax.psum(count, axis_name)
     psum_ = jax.lax.psum(psum_, axis_name)
@@ -105,12 +150,15 @@ def build_cells_sharded(points, mask, rings, grid_size, min_points, table_size, 
     num_valid = jnp.sum(valid)
     mean_w = jnp.sum(raw_w) / jnp.maximum(num_valid, 1)
     weight = jnp.where(valid, raw_w / jnp.maximum(mean_w, 1e-30), 0.0)
-    return ShardedCells(info=info, weight=weight, valid=valid, num_valid=num_valid), cid
+    return ShardedCells(info=info, weight=weight, valid=valid, num_valid=num_valid), (cid, keep)
 
 
-def cell_residuals_sharded(points, mask, cid, cells: ShardedCells, table_size, axis_name="data"):
-    """Replicated [T] residual vector from sharded points (inside shard_map)."""
-    w = mask.astype(points.dtype)
+def cell_residuals_sharded(points, keep, cid, cells: ShardedCells, table_size, axis_name="data"):
+    """Replicated [T] residual vector from sharded points (inside
+    shard_map).  `keep` is the frozen membership mask from the matching
+    build_cells_sharded call (owner-elected; membership stays frozen within
+    an iteration like the reference's, DmsaOptimizer.h:234-273)."""
+    w = keep.astype(points.dtype)
     count = jax.lax.psum(jax.ops.segment_sum(w, cid, num_segments=table_size), axis_name)
     psum_ = jax.lax.psum(
         jax.ops.segment_sum(points * w[:, None], cid, num_segments=table_size), axis_name
@@ -149,8 +197,8 @@ def _gn_iteration(
     def residuals(p, cells_and_cids):
         pts = transform_fn(p, local_pts, aux)
         parts = [
-            cell_residuals_sharded(pts, mask, cid, cells, table_size, axis_name)
-            for cells, cid in cells_and_cids
+            cell_residuals_sharded(pts, keep, cid, cells, table_size, axis_name)
+            for cells, (cid, keep) in cells_and_cids
         ]
         if extra_fn is not None:
             parts.append(extra_fn(p, aux))

@@ -616,7 +616,12 @@ class FusedDmsaSlam:
         self.shapes = FusedShapes(
             n_clouds=c.n_clouds,
             scan_cap=-(-int(c.scan_cap_factor * c.max_num_points_per_scan) // 256) * 256,
-            raw_cap=c.raw_scan_cap,
+            # raw padding must cover the post-downsample capacity, or
+            # voxel.compact's indices/mask shapes diverge
+            raw_cap=max(
+                c.raw_scan_cap,
+                -(-int(c.scan_cap_factor * c.max_num_points_per_scan) // 256) * 256,
+            ),
             n_static=c.static_points_cap,
             n_ctrl=c.num_control_poses,
             n_dense=c.n_dense,

@@ -46,6 +46,12 @@ def run(config_paths, overrides=None, max_scans=None, result_dir=None, pipeline=
         cfg.result_dir = result_dir
     if cfg.live_view and not viz_every:
         viz_every = CYCLIC_SAVE_EVERY
+    if cfg.distributed_keyframe_opt and pipeline == "fused":
+        log.warning(
+            "distributed_keyframe_opt requires the host pipeline "
+            "(keyframe clouds sharded over jax.devices()); switching"
+        )
+        pipeline = "host"
     if pipeline == "fused":
         from dmsa_lidar_slam_tpu.pipeline.fused import FusedDmsaSlam
 
@@ -94,13 +100,27 @@ def main(argv=None):
         help="fused: device-resident one-dispatch-per-scan; host: reference-style orchestration",
     )
     parser.add_argument("--viz-every", type=int, default=0, help="export PLY/HTML viz every N scans")
+    parser.add_argument(
+        "--distributed-keyframe-opt",
+        action="store_true",
+        help="shard the keyframe submap adjustment over jax.devices() "
+        "(BASELINE config 5; implies --pipeline host)",
+    )
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
-    run(args.configs, max_scans=args.max_scans, result_dir=args.result_dir, pipeline=args.pipeline, viz_every=args.viz_every)
+    overrides = {"distributed_keyframe_opt": True} if args.distributed_keyframe_opt else None
+    run(
+        args.configs,
+        overrides=overrides,
+        max_scans=args.max_scans,
+        result_dir=args.result_dir,
+        pipeline=args.pipeline,
+        viz_every=args.viz_every,
+    )
 
 
 if __name__ == "__main__":

@@ -166,7 +166,9 @@ class DmsaSlam:
         c = self.config
         with self.metrics.stage("preprocess"):
             n = len(points)
-            cap_raw = c.raw_scan_cap
+            # raw padding must cover the post-downsample capacity, or
+            # voxel.compact's indices/mask shapes diverge
+            cap_raw = max(c.raw_scan_cap, self.scan_cap)
             if n > cap_raw:
                 log.warning("raw scan truncated: %d > %d", n, cap_raw)
                 points, stamps, rings = points[:cap_raw], stamps[:cap_raw], rings[:cap_raw]
@@ -505,24 +507,82 @@ class DmsaSlam:
             from_id, c.balancing_factor_gravity, c.balancing_factor_odometry
         )
         min_grid = float(self.kf_map.grid_size[from_id : self.kf_map.count].min())
-        fwd = kfm.make_forward(self.map_shapes, use_grav, use_odom, True)
         pdt = pose_dtype()
-        result = opt.optimize(
-            fwd, jnp.array(params0, dtype=pdt), data, self.settings_map, min_grid
-        )
-        log.info(
-            "keyframe optim from %d: iters=%d stop=%d gaussians=%d",
-            from_id,
-            int(result.num_iters),
-            int(result.stop_reason),
-            int(result.num_gaussians),
-        )
-        self.kf_map.write_back(from_id, np.array(result.params))
+        if c.distributed_keyframe_opt:
+            params_opt = self._distributed_keyframe_optimize(
+                data, jnp.array(params0, dtype=pdt), min_grid, use_grav, use_odom, from_id
+            )
+        else:
+            fwd = kfm.make_forward(self.map_shapes, use_grav, use_odom, True)
+            result = opt.optimize(
+                fwd, jnp.array(params0, dtype=pdt), data, self.settings_map, min_grid
+            )
+            log.info(
+                "keyframe optim from %d: iters=%d stop=%d gaussians=%d",
+                from_id,
+                int(result.num_iters),
+                int(result.stop_reason),
+                int(result.num_gaussians),
+            )
+            params_opt = result.params
+        self.kf_map.write_back(from_id, np.array(params_opt))
 
         # re-anchor the current trajectory at the corrected last keyframe
         # (DmsaSlam.h:233-237)
         last = self.kf_map.count - 1
         self._reanchor_old_window(self.kf_map.orient_w[last], self.kf_map.transl_w[last])
+
+    def _distributed_keyframe_optimize(
+        self, data, params0, min_grid: float, use_grav: bool, use_odom: bool, from_id: int
+    ):
+        """keyframeOptimization routed through the sharded GN loop over
+        jax.devices() (parallel.keyframe_dist) — BASELINE config 5: keyframe
+        clouds sharded over the mesh, cell statistics and normal equations
+        reduced over psum, the small chain solve replicated.  The compiled
+        step is built once per (mesh, shapes, settings) and reused for every
+        submap instance (grid sizes are traced)."""
+        from dmsa_lidar_slam_tpu.parallel import keyframe_dist, mesh as pmesh
+
+        c = self.config
+        if not hasattr(self, "_dist_kf_mesh"):
+            devs = jax.devices()
+            n_total = self.map_shapes.n_keyframes * self.map_shapes.n_pts_per_kf
+            n_use = len(devs)
+            while n_total % n_use != 0:  # drop devices until shards are even
+                n_use -= 1
+            self._dist_kf_mesh = pmesh.make_mesh("data", devices=devs[:n_use])
+            if n_use < len(devs):
+                log.warning("distributed keyframe opt uses %d/%d devices", n_use, len(devs))
+        opt_fn = keyframe_dist.make_keyframe_dist_optimize(
+            self._dist_kf_mesh,
+            self.map_shapes,
+            num_iter=c.num_iter_keyframe_optim,
+            min_points=c.min_num_points_gauss_key,
+            table_size=c.dist_table_size,
+            step_length=c.alpha_keyframe_optim,
+            max_step=0.01,
+            epsilon=c.epsilon_keyframe_opt,
+            use_gravity=use_grav,
+            use_odometry=use_odom,
+        )
+        flat_pts, flat_mask, flat_rings, aux = keyframe_dist.flatten_problem(data)
+        grids = jnp.asarray(
+            [
+                self.settings_map.grid_size_1_factor * min_grid,
+                self.settings_map.grid_size_2_factor * min_grid,
+            ],
+            dtype=params0.dtype,
+        )
+        params, iters, err, ncells = opt_fn(params0, flat_pts, flat_mask, flat_rings, aux, grids)
+        log.info(
+            "distributed keyframe optim from %d: iters=%d err=%.3f cells=%d devices=%d",
+            from_id,
+            int(iters),
+            float(err),
+            int(ncells),
+            self._dist_kf_mesh.devices.size,
+        )
+        return params
 
     def _reanchor_old_window(self, new_anchor_o, new_anchor_t):
         """Replace the stored window's anchor pose and recompose its global
