@@ -75,8 +75,14 @@ def main():
     ratio = data_time / wall
 
     n = slam.kf_count
-    stamps, transl, _ = slam.keyframe_poses()
-    rmse = ate_rmse(stamps, transl, seq) if n >= 3 and len(stamps) == n else None
+    # accuracy over the FULL merged trajectory (retired + live keyframes +
+    # non-keyframe poses) — the same ledger the TUM writer emits
+    stamps, transl, _ = slam.all_poses()
+    rmse = ate_rmse(stamps, transl, seq) if len(stamps) >= 3 else None
+    if rmse is None or not np.isfinite(rmse):
+        raise SystemExit(f"bench failed: no usable ATE ({len(stamps)} poses)")
+    if rmse > 0.10:
+        raise SystemExit(f"bench failed: ATE RMSE {rmse:.4f} m > 0.10 m")
 
     result = {
         "metric": "realtime_ratio",
@@ -87,7 +93,8 @@ def main():
             "scans_per_sec": round(n_bench / wall, 3),
             "n_bench_scans": n_bench,
             "keyframes": int(n),
-            "synthetic_ate_rmse_m": None if rmse is None else round(rmse, 4),
+            "trajectory_poses": int(len(stamps)),
+            "synthetic_ate_rmse_m": round(rmse, 4),
             "stage_times": {k: round(v["total_s"], 3) for k, v in slam.metrics.summary().items()},
         },
     }

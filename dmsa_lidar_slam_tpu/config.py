@@ -90,6 +90,11 @@ class Config:
     # (owner election drops ~occupied_voxels/2T of cells; size ~10x voxels)
 
     # --- TPU-build specific shape caps (padding discipline) ---
+    # fixed compile-time span of the submap keyframe optimization: the
+    # suffix [max(minRelatedKeyId, count - cap) .. count) is materialized
+    # at this shape (the reference's getSubmap is variable-size and in
+    # practice spans the few most recent keyframes, DmsaSlam.h:212-238)
+    submap_max_keyframes: int = 16
     scan_cap_factor: float = 2.0  # per-scan capacity = factor * max_num_points
     n_dense: int = 501  # dense pose table length per window
     static_points_cap: int = 32768  # device-side static point capacity

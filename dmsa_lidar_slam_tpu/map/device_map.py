@@ -193,6 +193,95 @@ def submap_view(state: DeviceMapState, from_id, balancing_grav, balancing_odom, 
     return data, params0
 
 
+def submap_view_capped(
+    state: DeviceMapState,
+    from_id,
+    n_submap: int,
+    balancing_grav,
+    balancing_odom,
+    cov_grav_inv,
+    odom_t_cov_inv,
+    odom_r_cov_inv,
+    gravity,
+):
+    """Compact submap: the suffix [from_id..count-1] materialized at a FIXED
+    small shape [n_submap, P] instead of the full padded map.
+
+    The caller must guarantee count - from_id <= n_submap (clamp from_id up
+    to count - n_submap first). This bounds the submap optimization cost by
+    n_submap regardless of map capacity — the TPU-shaped analogue of the
+    reference's variable-size getSubmap (MapManagement.h:254-276), which in
+    practice also spans only the few most recent keyframes (minRelatedKeyId
+    comes from the closest-k static-point candidates, DmsaSlam.h:212-238).
+
+    Returns (KeyframeMapData with K=n_submap, params0 [6 (n_submap-1)]).
+    """
+    S = n_submap
+    m = state.count - from_id
+
+    def take(x):
+        return jnp.roll(x, -from_id, axis=0)[:S]
+
+    orient_r = take(state.orient_w)
+    transl_r = take(state.transl_w)
+    gp = cp.GlobalPoses(orient=orient_r, transl=transl_r)
+    chain = cp.global2relative(gp)
+    params0 = cp.params_from_chain(chain)
+
+    kf_mask = jnp.arange(S) < m
+    data = kfm.KeyframeMapData(
+        local_pts=take(state.local_pts),
+        local_normals=take(state.local_normals),
+        pt_mask=take(state.pt_mask),
+        pt_ring=take(state.pt_ring),
+        grid_size=jnp.where(kf_mask, take(state.grid_size), jnp.inf),
+        kf_mask=kf_mask,
+        anchor_orient=chain.orient[0],
+        anchor_transl=chain.transl[0],
+        stamps=take(state.stamps),
+        grav_meas=take(state.grav_meas),
+        grav_plausible=take(state.grav_plausible),
+        odom_rel_transl=take(state.odom_rel_transl),
+        odom_rel_orient=take(state.odom_rel_orient),
+        gravity=gravity,
+        cov_grav_inv=cov_grav_inv,
+        odom_transl_cov_inv=odom_t_cov_inv,
+        odom_orient_cov_inv=odom_r_cov_inv,
+        balancing_grav=balancing_grav,
+        balancing_odom=balancing_odom,
+    )
+    return data, params0
+
+
+def write_back_capped(state: DeviceMapState, from_id, params):
+    """updatePosesFromSubmap for a capped submap: params [6 (S-1)] from
+    submap_view_capped, recompose globals of keyframes (from_id..count-1],
+    keyframe from_id anchored (MapManagement.h:278-288)."""
+    K = state.orient_w.shape[0]
+    S = params.shape[0] // 6 + 1
+    anchor = cp.PoseChain(
+        orient=jnp.concatenate(
+            [state.orient_w[from_id][None], jnp.zeros((S - 1, 3), state.orient_w.dtype)]
+        ),
+        transl=jnp.concatenate(
+            [state.transl_w[from_id][None], jnp.zeros((S - 1, 3), state.transl_w.dtype)]
+        ),
+    )
+    chain = cp.chain_from_params(params, anchor)
+    gp = cp.relative2global(chain)
+    # pad the S-slot result to K rows, then roll so slot j -> keyframe
+    # from_id + j
+    pad = [(0, K - S), (0, 0)]
+    new_orient = jnp.roll(jnp.pad(gp.orient, pad), from_id, axis=0)
+    new_transl = jnp.roll(jnp.pad(gp.transl, pad), from_id, axis=0)
+    k_idx = jnp.arange(K)
+    write = (k_idx > from_id) & (k_idx < state.count) & (k_idx < from_id + S)
+    return state._replace(
+        orient_w=jnp.where(write[:, None], new_orient, state.orient_w),
+        transl_w=jnp.where(write[:, None], new_transl, state.transl_w),
+    )
+
+
 def write_back(state: DeviceMapState, from_id, params):
     """updatePosesFromSubmap (MapManagement.h:278-288): recompose globals of
     keyframes > from_id from the optimized relative chain (keyframe from_id

@@ -210,7 +210,6 @@ def save_fused_checkpoint(slam, path: str):
         if slam._scan_minmax
         else np.zeros((0, 2)),
         window_t0_history=np.asarray(slam._window_t0_history),
-        kf_stamp_queue=np.asarray(slam._kf_stamp_queue),
         out_order_is_key=np.asarray(slam.output.order_is_key, dtype=bool),
         out_static_stamps=np.asarray([s for s, _, _ in slam.output.static_keyframes]),
         out_static_transl=(
@@ -251,6 +250,7 @@ def save_fused_checkpoint(slam, path: str):
         "imu_next_idx": slam.imu_buffer.next_idx,
         "imu_num_updates": slam.imu_buffer.num_updates,
         "prev_window_t0": slam._prev_window_t0,
+        "stamp_base": slam._stamp_base,
         "has_buffered_scan": slam.buffered_scan is not None,
     }
     arrays_b = {}
@@ -287,13 +287,13 @@ def load_fused_checkpoint(slam, path: str):
 
     slam._scan_minmax = [tuple(row) for row in z["scan_minmax"]]
     slam._window_t0_history = list(z["window_t0_history"])
-    slam._kf_stamp_queue = list(z["kf_stamp_queue"])
     slam.scan_counter = meta["scan_counter"]
     slam._flushed_upto = meta["flushed_upto"]
     slam.time_initialized = meta["time_initialized"]
     slam.received_imu = meta["received_imu"]
     slam.config.use_imu = meta["use_imu"]
     slam._prev_window_t0 = meta["prev_window_t0"]
+    slam._stamp_base = meta.get("stamp_base")
     if meta["has_buffered_scan"]:
         slam.buffered_scan = (z["buffered_points"], z["buffered_stamps"], z["buffered_rings"])
 

@@ -20,8 +20,13 @@ under lax.cond inside the step.
 Capability parity with pipeline.slam / the reference's processPointCloud
 (DmsaSlam.h:116-204) — divergences:
   - the window time span comes from raw-scan stamp extremes (host-known)
-    instead of post-preprocessing extremes (a few ms of horizon slack),
-  - event stamps are attached host-side (the host knows each scan's t0).
+    instead of post-preprocessing extremes (a few ms of horizon slack).
+
+Keyframe stamps are carried ON DEVICE (DeviceMapState.stamps, f64, relative
+to the run's stamp base), uploaded per scan as a hi/lo f32 pair and returned
+through the event ledger on retirement — so a crash between dispatch and
+flush can never desynchronize stamps from poses (it can only lose unflushed
+output events, which the checkpoint flushes first).
 """
 
 import dataclasses
@@ -54,8 +59,9 @@ from dmsa_lidar_slam_tpu.utils.dtypes import pose_dtype
 log = logging.getLogger("dmsa_fused")
 
 # event record layout (f32): [type, pose(6), related_kf, retired_flag,
-# retired_pose(6), overlap, stop_reason, num_gauss, n_kept, grid, grav_ok,
-# gravity_est(3)] -> width 24
+# retired_pose(6), overlap, stop_reason, num_gauss, n_kept, grid,
+# retired_stamp_hi, grav_ok, retired_stamp_lo] -> width 24
+# (retired stamp = hi + lo reconstructs the device f64 stamp exactly)
 EV_WIDTH = 24
 EV_NONE, EV_INIT_KF, EV_KEYFRAME, EV_NONKEYFRAME = 0.0, 1.0, 2.0, 3.0
 
@@ -147,6 +153,7 @@ class StepScalars(NamedTuple):
     max_step: jnp.ndarray  # []
     balancing_imu: jnp.ndarray  # []
     key: jnp.ndarray  # PRNG key
+    win_t0: jnp.ndarray  # [] f64 window t0 relative to the run's stamp base
 
 
 def make_step(config: Config, shapes: FusedShapes):
@@ -182,8 +189,16 @@ def make_step(config: Config, shapes: FusedShapes):
         use_centralization=False,
     )
     use_grav_terms = c.use_gravity_term_in_keyframe_opt and c.use_imu
+    # the submap problem is materialized at a compact fixed shape
+    # [S_sub, P] so its cost is bounded by the submap span, not the map
+    # capacity (the reference's getSubmap is variable-size for the same
+    # reason, MapManagement.h:254-276)
+    S_sub = max(2, min(c.submap_max_keyframes, shapes.kf_cap))
+    sub_mshapes = kfm.MapShapes(
+        n_keyframes=S_sub, n_pts_per_kf=shapes.kf_pts_cap
+    )
     kf_fwd = kfm.make_forward(
-        mshapes, use_grav_terms, c.use_odometry_term_in_keyframe_opt, True
+        sub_mshapes, use_grav_terms, c.use_odometry_term_in_keyframe_opt, True
     )
 
     def preint_all(gyr_dense, acc_dense, dt, use_imu):
@@ -319,7 +334,7 @@ def make_step(config: Config, shapes: FusedShapes):
                 state.kf,
                 data.anchor_transl,
                 data.anchor_orient,
-                jnp.asarray(0.0, jnp.float64),
+                sc.win_t0,
                 pts0,
                 normals0,
                 rings0,
@@ -420,7 +435,7 @@ def make_step(config: Config, shapes: FusedShapes):
                     state.kf,
                     data.anchor_transl,
                     data.anchor_orient,
-                    jnp.asarray(0.0, jnp.float64),
+                    sc.win_t0,
                     pts_local,
                     normals,
                     rings_out,
@@ -435,9 +450,13 @@ def make_step(config: Config, shapes: FusedShapes):
                 # DmsaSlam.h:212-238)
                 def do_submap(state):
                     from_id = jnp.maximum(min_related_adj, 0)
-                    sdata, sparams = dmap.submap_view(
+                    # bound the submap span to S_sub keyframes (keep the
+                    # most recent ones, which the new keyframe constrains)
+                    from_id = jnp.maximum(from_id, state.kf.count - S_sub)
+                    sdata, sparams = dmap.submap_view_capped(
                         state.kf,
                         from_id,
+                        S_sub,
                         jnp.asarray(c.balancing_factor_gravity, pdt),
                         jnp.asarray(c.balancing_factor_odometry, pdt),
                         cov_grav_inv,
@@ -447,7 +466,7 @@ def make_step(config: Config, shapes: FusedShapes):
                     )
                     smin_grid = dmap.min_grid_from(state.kf, from_id)
                     sres = opt.optimize(kf_fwd, sparams, sdata, settings_map, smin_grid)
-                    kf2 = dmap.write_back(state.kf, from_id, sres.params)
+                    kf2 = dmap.write_back_capped(state.kf, from_id, sres.params)
                     return state._replace(kf=kf2)
 
                 run_submap = (
@@ -474,6 +493,11 @@ def make_step(config: Config, shapes: FusedShapes):
                 ev = ev.at[12:15].set(ret_t.astype(jnp.float32))
                 ev = ev.at[19].set(n_kept.astype(jnp.float32))
                 ev = ev.at[22].set(plaus.astype(jnp.float32))
+                # retired keyframe stamp, exact f64 as hi/lo f32 pair
+                rs_hi = ret_stamp.astype(jnp.float32)
+                rs_lo = (ret_stamp - rs_hi.astype(jnp.float64)).astype(jnp.float32)
+                ev = ev.at[21].set(rs_hi)
+                ev = ev.at[23].set(rs_lo)
                 return state, data, params_opt, ev
 
             def nonkeyframe_branch(args):
@@ -524,7 +548,8 @@ def make_step(config: Config, shapes: FusedShapes):
         row  raw_cap+D:                 dt, horizon, use_imu, step_length,
                                         max_step, balancing_imu
         row  raw_cap+D+1:               scan_t0_rel[:n_clouds] (pad 0)
-        row  raw_cap+D+2 (if present):  shift_t0, prng_seed
+        row  raw_cap+D+2 (if present):  shift_t0, prng_seed,
+                                        win_t0_hi, win_t0_lo (f64 split)
         """
         rc, D, S = shapes.raw_cap, shapes.n_dense, shapes.n_clouds
         raw = pack[:rc]
@@ -544,6 +569,7 @@ def make_step(config: Config, shapes: FusedShapes):
             max_step=srow[4].astype(pdt),
             balancing_imu=srow[5].astype(pdt),
             key=jax.random.PRNGKey(xrow[1].astype(jnp.int32)),
+            win_t0=xrow[2].astype(jnp.float64) + xrow[3].astype(jnp.float64),
         )
         shift_t0 = xrow[0].astype(pdt)
 
@@ -645,7 +671,9 @@ class FusedDmsaSlam:
         self._scan_minmax: List = []  # (min, max) raw stamps, window ring
         self._window_t0_history: List[float] = []  # per dispatched scan
         self._prev_window_t0: Optional[float] = None
-        self._kf_stamp_queue: List[float] = []  # active keyframe stamps
+        # absolute-time origin for device-side f64 stamps (first window t0);
+        # keyframe stamps live in state.kf.stamps relative to this base
+        self._stamp_base: Optional[float] = None
         self._imu_disabled_logged = False
 
     # ------------------------------------------------------------------ API
@@ -742,6 +770,12 @@ class FusedDmsaSlam:
         pack[rc + D + 1, : sh.n_clouds] = rel
         pack[rc + D + 2, 0] = shift_t0
         pack[rc + D + 2, 1] = float(self.scan_counter + 1)
+        if self._stamp_base is None:
+            self._stamp_base = t0_w
+        t0_rel = t0_w - self._stamp_base
+        t0_hi = np.float32(t0_rel)
+        pack[rc + D + 2, 2] = t0_hi
+        pack[rc + D + 2, 3] = np.float32(t0_rel - float(t0_hi))
 
         self.state = self.step(self.state, jnp.asarray(pack))
         self.received_imu = False
@@ -760,15 +794,10 @@ class FusedDmsaSlam:
             etype = int(round(ev[0]))
             if etype in (1, 2):  # init / keyframe
                 if ev[8] > 0.5 and etype == 2:  # retirement first
-                    if self._kf_stamp_queue:
-                        ret_stamp = self._kf_stamp_queue.pop(0)
-                    else:  # pragma: no cover - defensive
-                        ret_stamp = t0_w
+                    # exact device f64 stamp: base + hi + lo
+                    ret_stamp = (self._stamp_base or 0.0) + float(ev[21]) + float(ev[23])
                     self.output.add_static_keyframe_pose(ev[12:15], ev[9:12], ret_stamp)
                 self.output.inform_about_new_keyframe()
-                self._kf_stamp_queue.append(t0_w)
-                if len(self._kf_stamp_queue) > self.shapes.kf_cap:
-                    self._kf_stamp_queue.pop(0)
             elif etype == 3:  # non-keyframe, pose relative to live kf
                 self.output.add_non_keyframe_pose(ev[4:7], ev[1:4], t0_w, int(ev[7]))
         self._flushed_upto = self.scan_counter
@@ -779,11 +808,15 @@ class FusedDmsaSlam:
         return int(self.state.kf.count)
 
     def keyframe_poses(self):
-        """(stamps, transl [n,3], orient [n,3]) of the active keyframes."""
+        """(stamps, transl [n,3], orient [n,3]) of the active keyframes.
+
+        Stamps come from the device map itself (f64, relative to the stamp
+        base) so they can never desynchronize from the poses."""
         n = self.kf_count
         transl = np.array(self.state.kf.transl_w)[:n]
         orient = np.array(self.state.kf.orient_w)[:n]
-        stamps = np.asarray(self._kf_stamp_queue[-n:]) if n else np.zeros(0)
+        base = self._stamp_base or 0.0
+        stamps = np.array(self.state.kf.stamps)[:n] + base if n else np.zeros(0)
         return stamps, transl, orient
 
     def map_points(self):

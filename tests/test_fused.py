@@ -86,6 +86,34 @@ def test_fused_keyframe_retirement(tmp_path):
     stamps = [float(l.split()[0]) for l in lines]
     assert all(b >= a for a, b in zip(stamps, stamps[1:]))
 
+    # device-carried stamps: every retired + live keyframe stamp must be an
+    # exact window t0 (no host/device desync possible)
+    t0s = np.array(slam._window_t0_history)
+    retired = [s for s, _, _ in slam.output.static_keyframes]
+    for s in retired:
+        assert np.min(np.abs(t0s - s)) < 1e-6, s
+    live = slam.keyframe_poses()[0]
+    for s in live:
+        assert np.min(np.abs(t0s - s)) < 1e-6, s
+    # retirement order: all retired stamps precede the live ones
+    assert max(retired) <= live.min()
+
+
+@pytest.mark.slow
+def test_fused_stamps_survive_unflushed_events():
+    """Stamps stay exact even when retirement events pend un-flushed for the
+    whole run (the host queue they used to depend on no longer exists)."""
+    cfg = small_config(use_imu=False, last_n_keyframes_for_optim=3, dist_new_keyframe=0.05)
+    slam = FusedDmsaSlam(cfg, flush_every=16)  # never auto-flushes in 16 scans
+    seq = SyntheticSequence(rng=np.random.default_rng(23), noise_std=0.01, room_scale=0.45)
+    run_sequence(slam, seq, n_scans=16, pts=700, use_imu=False)
+    assert slam._flushed_upto == 0  # nothing flushed during the run
+    slam._flush_events()
+    assert len(slam.output.static_keyframes) >= 1
+    t0s = np.array(slam._window_t0_history)
+    for s, _, _ in slam.output.static_keyframes:
+        assert np.min(np.abs(t0s - s)) < 1e-6, s
+
 
 @pytest.mark.slow
 def test_fused_matches_host_pipeline(tmp_path):

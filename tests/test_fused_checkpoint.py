@@ -31,7 +31,10 @@ def test_fused_checkpoint_roundtrip(tmp_path):
     for l1, l2 in zip(jax.tree.leaves(slam.state), jax.tree.leaves(slam2.state)):
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     assert slam2.scan_counter == slam.scan_counter
-    assert slam2._kf_stamp_queue == slam._kf_stamp_queue
+    assert slam2._stamp_base == slam._stamp_base
+    s1 = slam.keyframe_poses()[0]
+    s2 = slam2.keyframe_poses()[0]
+    np.testing.assert_array_equal(s1, s2)
     assert slam2.output.order_is_key == slam.output.order_is_key
 
     # both continue identically (same inputs -> same keyframe counts)
