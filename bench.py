@@ -65,10 +65,20 @@ def main():
     for i in range(n_warm):
         t_imu = feed(i, t_imu)
 
+    import contextlib
+    import os
+
+    prof = contextlib.nullcontext()
+    if os.environ.get("DMSA_PROFILE_DIR"):
+        import jax
+
+        prof = jax.profiler.trace(os.environ["DMSA_PROFILE_DIR"])
+
     t0 = time.perf_counter()
-    for i in range(n_warm, n_warm + n_bench):
-        t_imu = feed(i, t_imu)
-    _ = slam.kf_count  # drain the async dispatch queue
+    with prof:
+        for i in range(n_warm, n_warm + n_bench):
+            t_imu = feed(i, t_imu)
+        _ = slam.kf_count  # drain the async dispatch queue
     wall = time.perf_counter() - t0
 
     data_time = n_bench * sweep

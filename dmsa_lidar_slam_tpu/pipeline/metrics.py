@@ -7,7 +7,18 @@ per-stage wall-clock accumulation and jax profiler hooks.
 
 import time
 from collections import defaultdict
-from contextlib import contextmanager
+from contextlib import contextmanager, nullcontext
+
+
+def _trace_annotation(name: str):
+    """jax.profiler.TraceAnnotation for the stage — nanosecond-cheap when no
+    trace is active; names host stages in captured profiles (SURVEY §5)."""
+    try:
+        import jax
+
+        return jax.profiler.TraceAnnotation(name)
+    except Exception:  # pragma: no cover - profiler unavailable
+        return nullcontext()
 
 
 class Metrics:
@@ -42,9 +53,12 @@ class Metrics:
     @contextmanager
     def stage(self, name: str):
         t = time.perf_counter()
+        ann = _trace_annotation(name)
+        ann.__enter__()
         try:
             yield
         finally:
+            ann.__exit__(None, None, None)
             self.stage_time[name] += time.perf_counter() - t
             self.stage_calls[name] += 1
 

@@ -11,6 +11,7 @@ Usage:
 """
 
 import argparse
+import contextlib
 import logging
 import sys
 import time
@@ -40,7 +41,15 @@ def save_outputs(slam, result_dir: str, with_viz: bool = False):
     return path
 
 
-def run(config_paths, overrides=None, max_scans=None, result_dir=None, pipeline="fused", viz_every=0):
+def run(
+    config_paths,
+    overrides=None,
+    max_scans=None,
+    result_dir=None,
+    pipeline="fused",
+    viz_every=0,
+    profile_dir=None,
+):
     cfg = load_config(*config_paths, overrides=overrides)
     if result_dir:
         cfg.result_dir = result_dir
@@ -63,6 +72,25 @@ def run(config_paths, overrides=None, max_scans=None, result_dir=None, pipeline=
     n_scans = 0
     last_pc_stamp = None
     t_start = time.perf_counter()
+    prof = contextlib.nullcontext()
+    if profile_dir:
+        import jax
+
+        prof = jax.profiler.trace(profile_dir)
+        log.info("capturing jax profiler trace -> %s", profile_dir)
+    with prof:
+        n_scans = _process_bags(slam, cfg, topics, max_scans, viz_every)
+
+    wall = time.perf_counter() - t_start
+    path = save_outputs(slam, cfg.result_dir, with_viz=bool(viz_every))
+    log.info("processed %d scans in %.1fs -> %s", n_scans, wall, path)
+    log.info("stage timings: %s", slam.metrics.summary())
+    return slam
+
+
+def _process_bags(slam, cfg, topics, max_scans, viz_every):
+    n_scans = 0
+    last_pc_stamp = None
     for msg in rosbag.read_messages_multi(cfg.bag_dirs, topics):
         if msg.topic == cfg.lidar_topic:
             cloud = pc2.parse_pointcloud2(msg.raw)
@@ -80,12 +108,7 @@ def run(config_paths, overrides=None, max_scans=None, result_dir=None, pipeline=
         elif msg.topic == cfg.imu_topic:
             imu = pc2.parse_imu(msg.raw)
             slam.process_imu(imu.linear_acceleration, imu.angular_velocity, imu.stamp)
-
-    wall = time.perf_counter() - t_start
-    path = save_outputs(slam, cfg.result_dir, with_viz=bool(viz_every))
-    log.info("processed %d scans in %.1fs -> %s", n_scans, wall, path)
-    log.info("stage timings: %s", slam.metrics.summary())
-    return slam
+    return n_scans
 
 
 def main(argv=None):
@@ -100,6 +123,13 @@ def main(argv=None):
         help="fused: device-resident one-dispatch-per-scan; host: reference-style orchestration",
     )
     parser.add_argument("--viz-every", type=int, default=0, help="export PLY/HTML viz every N scans")
+    parser.add_argument(
+        "--profile-dir",
+        default=None,
+        help="capture a jax profiler trace of the whole run into this "
+        "directory (open with xprof/tensorboard); host stages are named "
+        "via TraceAnnotation",
+    )
     parser.add_argument(
         "--distributed-keyframe-opt",
         action="store_true",
@@ -120,6 +150,7 @@ def main(argv=None):
         result_dir=args.result_dir,
         pipeline=args.pipeline,
         viz_every=args.viz_every,
+        profile_dir=args.profile_dir,
     )
 
 
