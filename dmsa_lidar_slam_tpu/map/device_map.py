@@ -26,7 +26,7 @@ class DeviceMapState(NamedTuple):
     grid_size: jnp.ndarray  # [K] f32
     orient_w: jnp.ndarray  # [K, 3] pose dtype
     transl_w: jnp.ndarray  # [K, 3]
-    stamps: jnp.ndarray  # [K] f64 (absolute epoch seconds)
+    stamps: jnp.ndarray  # [K] f64, relative to the run's stamp base
     grav_meas: jnp.ndarray  # [K, 3]
     grav_plausible: jnp.ndarray  # [K]
     odom_rel_orient: jnp.ndarray  # [K, 3]

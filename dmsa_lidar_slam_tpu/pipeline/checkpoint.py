@@ -13,7 +13,9 @@ from typing import Optional
 
 import numpy as np
 
-CHECKPOINT_VERSION = 1
+# v2: fused checkpoints carry stamp_base + meaningful device stamps
+# (kf_stamp_queue removed); v1 fused checkpoints are rejected on load.
+CHECKPOINT_VERSION = 2
 
 
 def save_checkpoint(slam, path: str):
@@ -273,6 +275,10 @@ def load_fused_checkpoint(slam, path: str):
     meta = json.loads(str(z["meta"]))
     if meta.get("kind") != "fused":
         raise ValueError("not a fused-pipeline checkpoint")
+    if meta.get("version") != CHECKPOINT_VERSION:
+        raise ValueError(
+            f"fused checkpoint version {meta.get('version')} != {CHECKPOINT_VERSION}"
+        )
 
     leaves, treedef = jax.tree.flatten(slam.state)
     new_leaves = [jnp.asarray(z[f"leaf{i}"], dtype=l.dtype) for i, l in enumerate(leaves)]

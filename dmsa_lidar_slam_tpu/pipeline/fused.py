@@ -192,8 +192,17 @@ def make_step(config: Config, shapes: FusedShapes):
     # the submap problem is materialized at a compact fixed shape
     # [S_sub, P] so its cost is bounded by the submap span, not the map
     # capacity (the reference's getSubmap is variable-size for the same
-    # reason, MapManagement.h:254-276)
-    S_sub = max(2, min(c.submap_max_keyframes, shapes.kf_cap))
+    # reason, MapManagement.h:254-276).  Default (no explicit cap) = the
+    # full suffix, matching the reference's [minRelatedKeyId .. end]
+    cap = c.submap_max_keyframes or shapes.kf_cap
+    if cap < shapes.kf_cap:
+        log.info(
+            "submap span capped at %d of %d keyframes (reference semantics "
+            "is the uncapped suffix; set submap_max_keyframes=None for that)",
+            cap,
+            shapes.kf_cap,
+        )
+    S_sub = max(2, min(cap, shapes.kf_cap))
     sub_mshapes = kfm.MapShapes(
         n_keyframes=S_sub, n_pts_per_kf=shapes.kf_pts_cap
     )

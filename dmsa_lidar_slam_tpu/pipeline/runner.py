@@ -69,8 +69,6 @@ def run(
         slam = DmsaSlam(cfg)
 
     topics = [t for t in (cfg.lidar_topic, cfg.imu_topic) if t]
-    n_scans = 0
-    last_pc_stamp = None
     t_start = time.perf_counter()
     prof = contextlib.nullcontext()
     if profile_dir:

@@ -500,6 +500,10 @@ class DmsaSlam:
         c = self.config
         if from_id < 0 or self.map_shapes.n_keyframes < 3 or self.kf_map.count < 2:
             return
+        if c.submap_max_keyframes:
+            # same explicit span cap as the fused pipeline (default None =
+            # the reference's uncapped suffix, DmsaSlam.h:212-238)
+            from_id = max(from_id, self.kf_map.count - c.submap_max_keyframes)
         use_grav = c.use_gravity_term_in_keyframe_opt and c.use_imu
         use_odom = c.use_odometry_term_in_keyframe_opt
 
