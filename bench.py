@@ -30,11 +30,11 @@ SEEDS = (3, 4, 7)  # multi-seed gate (VERDICT r2: single-seed is a coin flip)
 def run_sequence(cfg, seed: int, n_scans: int, timed_from: int = 0):
     """Run the fused pipeline over `n_scans`; returns (slam, seq, wall_s of
     scans >= timed_from, profiled)."""
-    from dmsa_lidar_slam_tpu.io.synthetic import SyntheticSequence, feed_scan
+    from dmsa_lidar_slam_tpu.io.synthetic import bench_sequence, feed_scan
     from dmsa_lidar_slam_tpu.pipeline.fused import FusedDmsaSlam
 
     slam = FusedDmsaSlam(cfg, flush_every=20)
-    seq = SyntheticSequence(rng=np.random.default_rng(seed), noise_std=0.01)
+    seq = bench_sequence(seed)
     t_imu = seq.t_start - 0.2
     for i in range(timed_from):
         t_imu = feed_scan(slam, seq, i, t_imu)

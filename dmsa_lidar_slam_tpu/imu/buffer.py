@@ -23,6 +23,7 @@ class ImuBuffer:
         self.gyr = np.zeros((max_num_meas, 3), dtype=np.float64)
         self.stamps = np.full(max_num_meas, -np.inf, dtype=np.float64)
         self.bias_gyr = np.zeros(3, dtype=np.float64)
+        self.acc_init = None  # mean acc over the static-start window
         self.next_idx = 0
         self.num_updates = 0
 
@@ -35,6 +36,19 @@ class ImuBuffer:
         if self.num_updates == BIAS_ESTIMATION_SAMPLES:
             # estimate gyro bias from the first 50 (already stored) samples
             self.bias_gyr = self.gyr[: self.num_updates].mean(axis=0)
+            # gravity direction from the SAME static-start window: the
+            # reference inits gravity from one sample at window t0
+            # (ContinuousTrajectory.h:266, accMeas.col(0)), which breaks if
+            # motion has already begun by the first window; the mean over
+            # the samples already assumed static for the gyro bias is
+            # strictly more robust under the same assumption
+            self.acc_init = self.acc[: self.num_updates].mean(axis=0).copy()
+
+    @property
+    def initial_acc_mean(self):
+        """Mean accelerometer over the static-start bias window, or None if
+        fewer than BIAS_ESTIMATION_SAMPLES have arrived."""
+        return self.acc_init
 
     def _chronological(self):
         """Samples in time order (valid prefix if not yet full)."""

@@ -81,12 +81,16 @@ class TruePose(NamedTuple):
 class SyntheticSequence:
     """Ramped-twist trajectory with scans + IMU.
 
-    The platform starts AT REST and ramps linearly to (v_lin, yaw_rate)
-    over `t_ramp` seconds — like real handheld/robot datasets, whose static
-    start is what makes the reference's zero initial guess viable for the
-    first window.  pose(t): position integrates v(t) (world), orientation
-    is yaw about z.  IMU: body rates [0,0,yaw_rate(t)], accel =
-    R^T * (a_world - g).
+    The platform stays AT REST for `t_still` data-seconds, then ramps
+    linearly to (v_lin, yaw_rate) over `t_ramp` seconds — like real
+    handheld/robot datasets, whose static start is what makes the
+    reference's init stack viable (gyro bias and gravity direction are
+    both estimated from the first IMU samples under a static-start
+    assumption, ImuBuffer.h:59-63 / ContinuousTrajectory.h:263-299; IMU
+    before the first scan is dropped, DmsaSlam.h:104-107, so the still
+    phase must cover the first scans, not just precede them).
+    pose(t): position integrates v(t) (world), orientation is yaw about z.
+    IMU: body rates [0,0,yaw_rate(t)], accel = R^T * (a_world - g).
     """
 
     def __init__(
@@ -99,6 +103,7 @@ class SyntheticSequence:
         sweep: float = 0.1,
         t_start: float = 1000.0,
         t_ramp: float = 1.0,
+        t_still: float = 0.0,
         noise_std: float = 0.0,
         room_scale: float = 1.0,
     ):
@@ -110,20 +115,21 @@ class SyntheticSequence:
         self.sweep = sweep
         self.t_start = t_start
         self.t_ramp = t_ramp
+        self.t_still = t_still
         self.noise_std = noise_std
         self.planes = room_scene(room_scale)
 
     def _ramp_integral(self, rel):
-        """Integral of the ramp profile min(t/t_ramp, 1) from 0 to rel
-        (scalar or array)."""
-        rel = np.asarray(rel, float)
+        """Integral of the ramp profile min(max(t - t_still, 0)/t_ramp, 1)
+        from 0 to rel (scalar or array)."""
+        rel = np.asarray(rel, float) - self.t_still
         below = 0.5 * np.clip(rel, 0.0, None) ** 2 / self.t_ramp
         above = 0.5 * self.t_ramp + (rel - self.t_ramp)
         out = np.where(rel < self.t_ramp, below, above)
         return out if out.ndim else float(out)
 
     def _ramp(self, rel: float) -> float:
-        return float(np.clip(rel / self.t_ramp, 0.0, 1.0))
+        return float(np.clip((rel - self.t_still) / self.t_ramp, 0.0, 1.0))
 
     def pose(self, t: float) -> TruePose:
         rel = t - self.t_start
@@ -134,7 +140,7 @@ class SyntheticSequence:
         )
 
     def world_accel(self, t: float) -> np.ndarray:
-        rel = t - self.t_start
+        rel = t - self.t_start - self.t_still
         if 0 <= rel < self.t_ramp:
             return self.v_lin / self.t_ramp
         return np.zeros(3)
@@ -169,8 +175,9 @@ class SyntheticSequence:
         rotvecs = np.zeros((len(ts), 3))
         rotvecs[:, 2] = yaws
         R = Rotation.from_rotvec(rotvecs).as_matrix()
-        ramp = np.clip(rel / self.t_ramp, 0.0, 1.0)
-        in_ramp = (rel >= 0) & (rel < self.t_ramp)
+        rel_m = rel - self.t_still
+        ramp = np.clip(rel_m / self.t_ramp, 0.0, 1.0)
+        in_ramp = (rel_m >= 0) & (rel_m < self.t_ramp)
         a_w = in_ramp[:, None] * (self.v_lin / self.t_ramp)[None, :]
         acc = np.einsum("nji,nj->ni", R, a_w - GRAVITY[None, :])
         gyr = np.zeros((len(ts), 3))
@@ -215,6 +222,16 @@ def bench_config(**overrides):
     )
     kw.update(overrides)
     return Config(**kw)
+
+
+def bench_sequence(seed: int, **overrides) -> SyntheticSequence:
+    """The canonical bench sequence: measurement noise 1 cm and a 0.6 s
+    still phase at the start of the DATA (like real handheld rigs) so the
+    static-start init assumption holds — IMU preceding the first scan is
+    dropped (DmsaSlam.h:104-107), so stillness must cover the first scans."""
+    kw = dict(rng=np.random.default_rng(seed), noise_std=0.01, t_still=0.6)
+    kw.update(overrides)
+    return SyntheticSequence(**kw)
 
 
 def feed_scan(slam, seq: SyntheticSequence, i: int, t_imu_from: float, pts_per_scan: int = 20000):

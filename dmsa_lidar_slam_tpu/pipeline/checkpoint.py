@@ -13,6 +13,8 @@ from typing import Optional
 
 import numpy as np
 
+from dmsa_lidar_slam_tpu.imu.buffer import BIAS_ESTIMATION_SAMPLES
+
 # v2: fused checkpoints carry stamp_base + meaningful device stamps
 # (kf_stamp_queue removed); v1 fused checkpoints are rejected on load.
 CHECKPOINT_VERSION = 2
@@ -148,6 +150,13 @@ def load_checkpoint(slam, path: str):
     slam.imu_buffer.bias_gyr[...] = z["imu_bias"]
     slam.imu_buffer.next_idx = meta["imu_next_idx"]
     slam.imu_buffer.num_updates = meta["imu_num_updates"]
+    if slam.imu_buffer.num_updates >= BIAS_ESTIMATION_SAMPLES:
+        # static-start mean acc (gravity init) is derivable from the stored
+        # ring: the first 50 samples sit at the buffer head until wrap (and
+        # after a wrap the value is no longer consulted)
+        slam.imu_buffer.acc_init = (
+            slam.imu_buffer.acc[:BIAS_ESTIMATION_SAMPLES].mean(axis=0)
+        )
 
     out = slam.output
     out.order_is_key = [bool(v) for v in z["out_order_is_key"]]
@@ -290,6 +299,13 @@ def load_fused_checkpoint(slam, path: str):
     slam.imu_buffer.bias_gyr[...] = z["imu_bias"]
     slam.imu_buffer.next_idx = meta["imu_next_idx"]
     slam.imu_buffer.num_updates = meta["imu_num_updates"]
+    if slam.imu_buffer.num_updates >= BIAS_ESTIMATION_SAMPLES:
+        # static-start mean acc (gravity init) is derivable from the stored
+        # ring: the first 50 samples sit at the buffer head until wrap (and
+        # after a wrap the value is no longer consulted)
+        slam.imu_buffer.acc_init = (
+            slam.imu_buffer.acc[:BIAS_ESTIMATION_SAMPLES].mean(axis=0)
+        )
 
     slam._scan_minmax = [tuple(row) for row in z["scan_minmax"]]
     slam._window_t0_history = list(z["window_t0_history"])

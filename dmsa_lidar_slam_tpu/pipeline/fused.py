@@ -105,7 +105,7 @@ class FusedShapes:
 
     @property
     def pack_rows(self) -> int:
-        return self.raw_cap + self.n_dense + 3
+        return self.raw_cap + self.n_dense + 4
 
     @property
     def window(self) -> ct.WindowShapes:
@@ -154,6 +154,8 @@ class StepScalars(NamedTuple):
     balancing_imu: jnp.ndarray  # []
     key: jnp.ndarray  # PRNG key
     win_t0: jnp.ndarray  # [] f64 window t0 relative to the run's stamp base
+    acc_init: jnp.ndarray  # [3] static-start mean acc (gravity init)
+    acc_init_valid: jnp.ndarray  # [] bool
 
 
 def make_step(config: Config, shapes: FusedShapes):
@@ -289,9 +291,13 @@ def make_step(config: Config, shapes: FusedShapes):
 
         # ---- initial guess ------------------------------------------------
         def first_window(_):
+            # gravity init from the static-start mean acc when available
+            # (single-sample fallback = reference behavior,
+            # ContinuousTrajectory.h:263-299)
+            acc_for_init = jnp.where(sc.acc_init_valid, sc.acc_init, data.acc_dense[0])
             anchor_o = jnp.where(
                 sc.use_imu,
-                ct.init_gravity_anchor_orientation(data.acc_dense[0], gravity),
+                ct.init_gravity_anchor_orientation(acc_for_init, gravity),
                 jnp.zeros(3, pdt),
             )
             chain = cp.PoseChain(
@@ -557,8 +563,9 @@ def make_step(config: Config, shapes: FusedShapes):
         row  raw_cap+D:                 dt, horizon, use_imu, step_length,
                                         max_step, balancing_imu
         row  raw_cap+D+1:               scan_t0_rel[:n_clouds] (pad 0)
-        row  raw_cap+D+2 (if present):  shift_t0, prng_seed,
+        row  raw_cap+D+2:               shift_t0, prng_seed,
                                         win_t0_hi, win_t0_lo (f64 split)
+        row  raw_cap+D+3:               acc_init(3), acc_init_valid
         """
         rc, D, S = shapes.raw_cap, shapes.n_dense, shapes.n_clouds
         raw = pack[:rc]
@@ -566,6 +573,7 @@ def make_step(config: Config, shapes: FusedShapes):
         srow = pack[rc + D]
         trow = pack[rc + D + 1]
         xrow = pack[rc + D + 2]
+        grow = pack[rc + D + 3]
 
         acc_dense = imu_rows[:, :3].astype(pdt)
         gyr_dense = imu_rows[:, 3:].astype(pdt)
@@ -579,6 +587,8 @@ def make_step(config: Config, shapes: FusedShapes):
             balancing_imu=srow[5].astype(pdt),
             key=jax.random.PRNGKey(xrow[1].astype(jnp.int32)),
             win_t0=xrow[2].astype(jnp.float64) + xrow[3].astype(jnp.float64),
+            acc_init=grow[:3].astype(pdt),
+            acc_init_valid=grow[3] > 0.5,
         )
         shift_t0 = xrow[0].astype(pdt)
 
@@ -785,6 +795,10 @@ class FusedDmsaSlam:
         t0_hi = np.float32(t0_rel)
         pack[rc + D + 2, 2] = t0_hi
         pack[rc + D + 2, 3] = np.float32(t0_rel - float(t0_hi))
+        acc_init = self.imu_buffer.initial_acc_mean
+        if acc_init is not None:
+            pack[rc + D + 3, :3] = acc_init
+            pack[rc + D + 3, 3] = 1.0
 
         self.state = self.step(self.state, jnp.asarray(pack))
         self.received_imu = False

@@ -235,8 +235,14 @@ class DmsaSlam:
         shapes = self.window_shapes
         if not self.submap_initialized:
             if use_imu_now:
+                # gravity init from the static-start mean acc when available
+                # (single-sample fallback = reference behavior,
+                # ContinuousTrajectory.h:263-299)
+                acc0 = self.imu_buffer.initial_acc_mean
+                if acc0 is None:
+                    acc0 = data.acc_dense[0]
                 anchor_o = ct.init_gravity_anchor_orientation(
-                    data.acc_dense[0], data.gravity
+                    jnp.asarray(acc0, dtype=pdt), data.gravity
                 )
                 data = data._replace(anchor_orient=jnp.array(anchor_o, dtype=pdt))
             self.submap_initialized = True

@@ -28,13 +28,13 @@ def main():
     ap.add_argument("--scans", type=int, default=50)
     args = ap.parse_args()
 
-    from dmsa_lidar_slam_tpu.io.synthetic import SyntheticSequence, ate_rmse, bench_config
+    from dmsa_lidar_slam_tpu.io.synthetic import ate_rmse, bench_config, bench_sequence
     from dmsa_lidar_slam_tpu.pipeline.fused import FusedDmsaSlam
     from scipy.spatial.transform import Rotation
 
     cfg = bench_config(use_imu=not args.no_imu)
     slam = FusedDmsaSlam(cfg, flush_every=20)
-    seq = SyntheticSequence(rng=np.random.default_rng(args.seed), noise_std=0.01)
+    seq = bench_sequence(args.seed)
 
     t_imu = seq.t_start - 0.2
     for i in range(args.scans):
