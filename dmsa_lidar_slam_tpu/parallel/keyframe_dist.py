@@ -169,6 +169,7 @@ def _cached_optimize(
     use_gravity,
     use_odometry,
     grid_factors,
+    jit,
 ):
     mesh = _MESH_REGISTRY[mesh_key]
     axis = mesh.axis_names[0]
@@ -184,6 +185,7 @@ def _cached_optimize(
         epsilon=epsilon,
         extra_fn=make_extra_fn(n_keyframes, use_gravity, use_odometry),
         n_grids=len(grid_factors),
+        jit=jit,
     )
 
 
@@ -203,13 +205,16 @@ def make_keyframe_dist_optimize(
     use_gravity: bool = False,
     use_odometry: bool = False,
     grid_factors=(2.0, 5.0),
+    jit: bool = True,
 ):
     """The once-built full distributed keyframe adjustment (cached per mesh
     and shapes — the production entry used by pipeline.slam).
 
     Returns opt(params0, flat_pts, flat_mask, flat_rings, aux, grid_sizes)
     -> (params, num_iters, final_error, num_cells); grid_sizes is a traced
-    [len(grid_factors)] vector (pass min_grid * grid_factors per call)."""
+    [len(grid_factors)] vector (pass min_grid * grid_factors per call).
+    jit=False returns the raw shard_map callable for composition inside a
+    larger jit (the fused pipeline's submap branch)."""
     mesh_key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
     _MESH_REGISTRY[mesh_key] = mesh
     n_total = shapes.n_keyframes * shapes.n_pts_per_kf
@@ -228,6 +233,7 @@ def make_keyframe_dist_optimize(
         use_gravity,
         use_odometry,
         tuple(grid_factors),
+        jit,
     )
 
 

@@ -415,6 +415,7 @@ def make_sharded_optimize(
     extra_fn=None,
     line_search_fracs=DEFAULT_LINE_SEARCH_FRACS,
     n_grids: int = 2,
+    jit: bool = True,
 ):
     """jit-compiled shard_map wrapper of the full optimization loop.
 
@@ -423,6 +424,11 @@ def make_sharded_optimize(
     with grid_sizes a TRACED [n_grids] vector (so one compiled step serves
     every submap min_grid).  Build ONCE per (mesh, shapes); reuse across
     scans/submaps.
+
+    jit=False returns the raw shard_map callable for composition INSIDE a
+    larger jit program (e.g. the fused per-scan step's submap branch) —
+    shard_map composes under an outer jit, which then compiles the whole
+    program SPMD over the mesh.
     """
     axis = mesh.axis_names[0]
 
@@ -455,4 +461,4 @@ def make_sharded_optimize(
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded) if jit else sharded

@@ -158,8 +158,17 @@ class StepScalars(NamedTuple):
     acc_init_valid: jnp.ndarray  # [] bool
 
 
-def make_step(config: Config, shapes: FusedShapes):
-    """Build the fused per-scan step function (jit, donated state)."""
+def make_step(config: Config, shapes: FusedShapes, mesh=None):
+    """Build the fused per-scan step function (jit, donated state).
+
+    When `mesh` (jax.sharding.Mesh, >1 device) is given, the submap
+    keyframe optimization runs SHARDED over it — the keyframe clouds of
+    the capped submap view are partitioned across devices, cell statistics
+    and normal equations reduce over psum, and the small chain solve is
+    replicated (parallel.keyframe_dist), all inside the same single
+    per-scan jit dispatch (shard_map composes under the outer jit).
+    Reference path being distributed: keyframeOptimization
+    (DmsaSlam.h:212-238)."""
     c = config
     pdt = pose_dtype()
     wshapes = shapes.window
@@ -211,6 +220,23 @@ def make_step(config: Config, shapes: FusedShapes):
     kf_fwd = kfm.make_forward(
         sub_mshapes, use_grav_terms, c.use_odometry_term_in_keyframe_opt, True
     )
+    dist_submap_opt = None
+    if mesh is not None and mesh.devices.size > 1:
+        from dmsa_lidar_slam_tpu.parallel import keyframe_dist
+
+        dist_submap_opt = keyframe_dist.make_keyframe_dist_optimize(
+            mesh,
+            sub_mshapes,
+            num_iter=c.num_iter_keyframe_optim,
+            min_points=c.min_num_points_gauss_key,
+            table_size=c.dist_table_size,
+            step_length=c.alpha_keyframe_optim,
+            max_step=0.01,
+            epsilon=c.epsilon_keyframe_opt,
+            use_gravity=use_grav_terms,
+            use_odometry=c.use_odometry_term_in_keyframe_opt,
+            jit=False,  # composes inside the fused step's jit
+        )
 
     def preint_all(gyr_dense, acc_dense, dt, use_imu):
         pr_rot, pr_vel, pr_pos, cov_inv, pr_full = ct.compute_preint_factors(
@@ -480,8 +506,21 @@ def make_step(config: Config, shapes: FusedShapes):
                         gravity,
                     )
                     smin_grid = dmap.min_grid_from(state.kf, from_id)
-                    sres = opt.optimize(kf_fwd, sparams, sdata, settings_map, smin_grid)
-                    kf2 = dmap.write_back_capped(state.kf, from_id, sres.params)
+                    if dist_submap_opt is None:
+                        sres = opt.optimize(kf_fwd, sparams, sdata, settings_map, smin_grid)
+                        params_new = sres.params
+                    else:
+                        from dmsa_lidar_slam_tpu.parallel import keyframe_dist
+
+                        fp, fm, fr, aux = keyframe_dist.flatten_problem(sdata)
+                        grids = jnp.stack(
+                            [
+                                settings_map.grid_size_1_factor * smin_grid,
+                                settings_map.grid_size_2_factor * smin_grid,
+                            ]
+                        )
+                        params_new, _, _, _ = dist_submap_opt(sparams, fp, fm, fr, aux, grids)
+                    kf2 = dmap.write_back_capped(state.kf, from_id, params_new)
                     return state._replace(kf=kf2)
 
                 run_submap = (
@@ -676,7 +715,26 @@ class FusedDmsaSlam:
             ev_cap=max(flush_every, 16),
         )
         self.flush_every = min(flush_every, self.shapes.ev_cap)
-        self.step = make_step(c, self.shapes)
+        mesh = None
+        if c.distributed_keyframe_opt:
+            import jax as _jax
+            from dmsa_lidar_slam_tpu.parallel import mesh as pmesh
+
+            cap = c.submap_max_keyframes or self.shapes.kf_cap
+            s_sub = max(2, min(cap, self.shapes.kf_cap))
+            n_total = s_sub * self.shapes.kf_pts_cap
+            devs = _jax.devices()
+            n_use = len(devs)
+            while n_total % n_use != 0:  # drop devices until shards are even
+                n_use -= 1
+            if n_use > 1:
+                mesh = pmesh.make_mesh("data", devices=devs[:n_use])
+                if n_use < len(devs):
+                    log.warning("fused distributed submap uses %d/%d devices", n_use, len(devs))
+            else:
+                log.warning("distributed_keyframe_opt requested but only 1 usable device")
+        self.mesh = mesh
+        self.step = make_step(c, self.shapes, mesh=mesh)
         self.state = empty_state(self.shapes)
         self.imu_buffer = ImuBuffer()
         self.output = OutputManager()

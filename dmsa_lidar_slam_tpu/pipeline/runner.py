@@ -55,12 +55,6 @@ def run(
         cfg.result_dir = result_dir
     if cfg.live_view and not viz_every:
         viz_every = CYCLIC_SAVE_EVERY
-    if cfg.distributed_keyframe_opt and pipeline == "fused":
-        log.warning(
-            "distributed_keyframe_opt requires the host pipeline "
-            "(keyframe clouds sharded over jax.devices()); switching"
-        )
-        pipeline = "host"
     if pipeline == "fused":
         from dmsa_lidar_slam_tpu.pipeline.fused import FusedDmsaSlam
 

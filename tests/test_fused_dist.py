@@ -1,0 +1,48 @@
+"""Fused pipeline + distributed submap optimization (VERDICT r2 #5): the
+device-resident per-scan step routes keyframeOptimization
+(DmsaSlam.h:212-238) through the keyframe-sharded GN loop over the 8-device
+virtual mesh, inside the SAME single jit dispatch, and must match the
+single-device fused pipeline within tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from dmsa_lidar_slam_tpu.io.synthetic import SyntheticSequence, ate_rmse
+from dmsa_lidar_slam_tpu.pipeline.fused import FusedDmsaSlam
+
+from tests.test_fused import run_sequence
+from tests.test_pipeline import small_config
+
+
+@pytest.mark.slow
+def test_fused_distributed_submap_matches_single_device():
+    import jax
+
+    assert len(jax.devices()) >= 2, "conftest provides the 8-device CPU mesh"
+
+    def run(distributed: bool):
+        cfg = small_config(use_imu=False, distributed_keyframe_opt=distributed)
+        slam = FusedDmsaSlam(cfg, flush_every=8)
+        seq = SyntheticSequence(
+            rng=np.random.default_rng(7), noise_std=0.01, room_scale=0.45
+        )
+        run_sequence(slam, seq, n_scans=14, pts=900, use_imu=False)
+        return slam, seq
+
+    slam_d, seq = run(True)
+    assert slam_d.mesh is not None and slam_d.mesh.devices.size > 1
+    slam_s, _ = run(False)
+
+    assert slam_d.kf_count == slam_s.kf_count >= 2
+    _, t_d, _ = slam_d.keyframe_poses()
+    _, t_s, _ = slam_s.keyframe_poses()
+    # both must track truth; the sharded submap solve uses hash cells with
+    # owner election (exact surviving cells) so small numeric divergence
+    # from dropped colliding cells is expected
+    rmse_d = ate_rmse(slam_d.keyframe_poses()[0], t_d, seq)
+    rmse_s = ate_rmse(slam_s.keyframe_poses()[0], t_s, seq)
+    assert rmse_d < 0.15, f"distributed ATE {rmse_d}"
+    assert rmse_s < 0.15, f"single ATE {rmse_s}"
+    parity = float(np.max(np.linalg.norm(t_d - t_s, axis=1)))
+    assert parity < 0.05, f"dist-vs-single keyframe position parity {parity:.4f} m"
