@@ -303,3 +303,43 @@ def test_hemisphere_vs_opposed_pair_residual_energy(rng):
     assert 0.5 < e_hemi / e_ref < 2.0, (e_hemi, e_ref)
     # over-splitting is bounded (hemisphere may add some cells)
     assert n_hemi <= 2 * n_ref
+
+
+# --------------------------------------------------------------------- (c)
+
+
+@pytest.mark.slow
+def test_submap_cap_accuracy_cost():
+    """Quantify the explicit submap span cap (Config.submap_max_keyframes)
+    on a run whose keyframe count exceeds the cap: the capped run may not
+    re-optimize old keyframes (divergence from the reference's uncapped
+    suffix, DmsaSlam.h:212-238) but must stay within a bounded accuracy
+    factor of the uncapped run on this scene."""
+    from dmsa_lidar_slam_tpu.io.synthetic import SyntheticSequence, ate_rmse
+    from dmsa_lidar_slam_tpu.pipeline.fused import FusedDmsaSlam
+
+    from tests.test_fused import run_sequence
+    from tests.test_pipeline import small_config
+
+    def run(cap):
+        cfg = small_config(
+            use_imu=False,
+            dist_new_keyframe=0.05,  # ~1 keyframe per scan
+            last_n_keyframes_for_optim=12,
+            submap_max_keyframes=cap,
+        )
+        slam = FusedDmsaSlam(cfg, flush_every=8)
+        seq = SyntheticSequence(
+            rng=np.random.default_rng(19), noise_std=0.01, room_scale=0.45
+        )
+        run_sequence(slam, seq, n_scans=14, pts=900, use_imu=False)
+        stamps, transl, _ = slam.keyframe_poses()
+        return slam, ate_rmse(stamps, transl, seq)
+
+    slam_cap, rmse_cap = run(4)
+    slam_full, rmse_full = run(None)
+    # the cap must actually bind on this run
+    assert slam_cap.kf_count > 4, slam_cap.kf_count
+    assert rmse_full < 0.15, f"uncapped ATE {rmse_full}"
+    # quantified cost of the cap: bounded degradation on this scene
+    assert rmse_cap < max(2.5 * rmse_full, 0.10), (rmse_cap, rmse_full)
