@@ -85,6 +85,25 @@ def quat_rotate(q, v):
     return v + w * t + jnp.cross(u, t)
 
 
+def quat_rotate_vjp_q(q, v, g):
+    """Cotangent of quat_rotate wrt q: returns [..., 4] = g^T d(quat_rotate)/dq.
+
+    Closed form of the VJP of `quat_rotate(q, v)` (holding v fixed) with
+    output cotangent g [..., 3] — the per-point pose-gradient hook of the
+    structured Gauss-Newton Jacobian (see dmsa.optimizer).  With
+    t = 2 (u x v):
+
+        d/dw = g . t
+        d/du = 2 w (v x g) + t x g + 2 v x (g x u)
+    """
+    w = q[..., :1]
+    u = q[..., 1:]
+    t = 2.0 * jnp.cross(u, v)
+    aw = jnp.sum(g * t, axis=-1, keepdims=True)
+    au = 2.0 * w * jnp.cross(v, g) + jnp.cross(t, g) + 2.0 * jnp.cross(v, jnp.cross(g, u))
+    return jnp.concatenate([aw, au], axis=-1)
+
+
 def quat2axang(q):
     """Quaternion [..., 4] (w, x, y, z) -> axis-angle [..., 3]."""
     q = q * jnp.sign(q[..., :1] + _EPS)  # enforce w >= 0 => angle in [0, pi]

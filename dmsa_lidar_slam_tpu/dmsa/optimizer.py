@@ -34,7 +34,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from dmsa_lidar_slam_tpu.ops import gaussians
+from dmsa_lidar_slam_tpu.ops import gaussians, voxel
 
 # stop reason codes (diagnostics)
 STOP_NONE = 0
@@ -112,7 +112,7 @@ def value_and_jacfwd(fn: Callable, params: jnp.ndarray, chunk: int):
     return e0, jnp.concatenate(cols, axis=0).T  # [R], [R, P]
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+@partial(jax.jit, static_argnums=(0, 3), static_argnames=("structured_fn",))
 def optimize(
     forward_fn: Callable[[jnp.ndarray, Any], ForwardOut],
     params0: jnp.ndarray,
@@ -121,6 +121,7 @@ def optimize(
     min_grid_size=0.3,
     step_length=None,
     max_step=None,
+    structured_fn=None,
 ) -> OptimResult:
     """Run the DMSA optimization (jit; forward_fn and settings are static).
 
@@ -129,19 +130,33 @@ def optimize(
     pairs, DmsaSlam.h:455-466).  Centralization
     (ContinuousTrajectory.h:75-100) is handled by the caller around this
     function — it rewrites the data pytree, not the params.
+
+    structured_fn, when given, replaces the autodiff Jacobian
+    (value_and_jacfwd: P tangent passes through the full point pipeline)
+    with the problem's STRUCTURED Jacobian: it returns
+    (ForwardOut, contract, J_extra) where contract(grad3 [N,3]) -> [N,P]
+    maps per-point residual cotangents to parameter rows using the
+    problem's pose sparsity (each point depends on exactly one pose-table
+    entry), and J_extra [M,P] is the extra-residual Jacobian.  One
+    elementwise pass + one run-sum per resolution instead of P full
+    tangent passes — exact to floating point (tests/test_structured_jac).
     """
     num_params = params0.shape[0]
     step_length = settings.step_length_optim if step_length is None else step_length
     max_step_v = settings.max_step if max_step is None else max_step
 
-    def residuals(params, cells_list, data):
+    def residuals(params, merged_cells, data):
+        """Residual vector over the MERGED per-resolution cell layout (one
+        launch chain instead of one per resolution — the line search calls
+        this 14x per iteration).  The squared total equals the per-
+        resolution layout's, so it interchanges freely with the structured
+        path's e0 in every dot product."""
         out = forward_fn(params, data)
-        parts = [gaussians.cell_residuals(out.points, out.mask, c) for c in cells_list]
+        parts = [gaussians.cell_residuals(out.points, out.mask, merged_cells)]
         parts.append(out.extra)
         return jnp.concatenate(parts)
 
-    def build_all_cells(params, data):
-        out = forward_fn(params, data)
+    def build_all_cells_from(out):
         cells = []
         for factor in (settings.grid_size_1_factor, settings.grid_size_2_factor):
             if factor > 1e-30:
@@ -159,12 +174,32 @@ def optimize(
         return tuple(cells)
 
     def iteration(params):
-        cells = build_all_cells(params, data)
+        if structured_fn is None:
+            out = forward_fn(params, data)
+            cells = build_all_cells_from(out)
+            merged = gaussians.concat_cells(list(cells), out.points.shape[0])
+            res_fn = lambda p: residuals(p, merged, data)
+            # ONE linearize: its primal pass doubles as the e0 evaluation
+            e0, J = value_and_jacfwd(res_fn, params, settings.jacobian_chunk)
+        else:
+            # structured Jacobian: per-point cotangents -> parameter rows
+            # via the problem's pose sparsity; see the docstring above
+            out, contract, J_extra = structured_fn(params, data)
+            cells = build_all_cells_from(out)
+            merged = gaussians.concat_cells(list(cells), out.points.shape[0])
+            res_fn = lambda p: residuals(p, merged, data)
+            e_parts, j_parts = [], []
+            for c in cells:
+                res, g_sorted = gaussians.cell_residuals_and_grad(out.points, out.mask, c)
+                g_orig = jnp.zeros_like(out.points).at[c.order].set(g_sorted)
+                jp = contract(g_orig)  # [N, P] per-point rows, original order
+                jc = voxel.run_sums(jp[c.order], c.start, c.end)
+                e_parts.append(res)
+                j_parts.append(jnp.where(c.valid[:, None], jc, 0.0))
+            e0 = jnp.concatenate(e_parts + [out.extra])
+            rdt = e0.dtype  # concat promotes like the autodiff path
+            J = jnp.concatenate([j.astype(rdt) for j in j_parts + [J_extra]], axis=0)
         n_gauss = sum((c.num_valid for c in cells), jnp.array(0))
-
-        res_fn = lambda p: residuals(p, cells, data)
-        # ONE linearize: its primal pass doubles as the e0 evaluation
-        e0, J = value_and_jacfwd(res_fn, params, settings.jacobian_chunk)
         error0 = jnp.dot(e0, e0)
 
         H = J.T @ J

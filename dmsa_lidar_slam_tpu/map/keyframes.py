@@ -131,6 +131,72 @@ def make_forward(shapes: MapShapes, use_gravity: bool, use_odometry: bool, use_s
     return forward
 
 
+@lru_cache(maxsize=None)
+def make_structured(shapes: MapShapes, use_gravity: bool, use_odometry: bool, use_split: bool):
+    """Structured-Jacobian forward for submap optimization (dmsa.optimizer).
+
+    Each point depends only on its keyframe's global pose (q_k, t_k); the
+    global poses depend on the P = 6(K-1) parameters through the tiny
+    relative chain.  The pose-table Jacobian (Dq [K,4,P], Dt [K,3,P]) costs
+    P tangents over the chain only, and the per-point contraction is a
+    batched [P_pts,4]x[4,P] matmul per keyframe — MXU-shaped, no gathers
+    (points are already laid out [K, P_pts, 3]).
+    """
+
+    def structured(params, data: KeyframeMapData):
+        def tables(p):
+            chain, gp = global_chain(p, data, shapes)
+            q = rot.axang2quat(gp.orient)  # [K,4]
+            extras = []
+            if use_gravity:
+                extras.append(gravity_residuals(gp, data))
+            if use_odometry:
+                extras.append(odometry_residuals(chain, data))
+            extra = (
+                jnp.concatenate(extras) if extras else jnp.zeros((0,), dtype=p.dtype)
+            )
+            return q, gp.transl, extra
+
+        (q, t, extra), lin = jax.linearize(tables, params)
+        p_dim = params.shape[0]
+        eye = jnp.eye(p_dim, dtype=params.dtype)
+        dq, dt_, j_extra = jax.vmap(lin)(eye)  # [P,K,4], [P,K,3], [P,M]
+
+        q32 = q.astype(jnp.float32)[:, None, :]  # [K,1,4]
+        t32 = t.astype(jnp.float32)
+        pts_w = rot.quat_rotate(q32, data.local_pts) + t32[:, None, :]
+        nrm_w = rot.quat_rotate(q32, data.local_normals)
+
+        mask = data.pt_mask & data.kf_mask[:, None]
+        points = pts_w.reshape(-1, 3)
+        normals = nrm_w.reshape(-1, 3)
+        flat_mask = mask.reshape(-1)
+        rings = data.pt_ring.reshape(-1)
+        split = normal_split_ids(normals) if use_split else None
+        out = ForwardOut(
+            points=points,
+            mask=flat_mask,
+            ring_ids=rings,
+            obs_weight=None,
+            extra=extra,
+            split_ids=split,
+        )
+
+        gq = dq.astype(jnp.float32).transpose(1, 2, 0)  # [K,4,P]
+        gt = dt_.astype(jnp.float32).transpose(1, 2, 0)  # [K,3,P]
+        k, ppk = shapes.n_keyframes, shapes.n_pts_per_kf
+
+        def contract(grad3_orig):
+            g = grad3_orig.reshape(k, ppk, 3)
+            aq = rot.quat_rotate_vjp_q(q32, data.local_pts, g)  # [K,Pp,4]
+            jp = jnp.einsum("kpc,kcq->kpq", aq, gq) + jnp.einsum("kpc,kcq->kpq", g, gt)
+            return jp.reshape(k * ppk, p_dim)
+
+        return out, contract, j_extra.T
+
+    return structured
+
+
 def gravity_residuals(gp: cp.GlobalPoses, data: KeyframeMapData):
     """Gravity error terms (updateGravityErrors, MapManagement.h:210-232).
 

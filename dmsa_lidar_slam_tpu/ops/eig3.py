@@ -85,24 +85,124 @@ def matrix_function_sym3(A, g, dg, d2g):
     return 0.5 * (out + jnp.swapaxes(out, -1, -2))
 
 
-def floored_inverse_sym3(A, floor):
-    """Eigenvalue-floored inverse V diag(1/max(lambda, floor)) V^T without
-    computing V (the information matrix, Gaussians.h:181-201).
+def pack_sym6(A):
+    """Symmetric [..., 3, 3] -> packed [..., 6] (00, 01, 02, 11, 12, 22)."""
+    return jnp.stack(
+        [A[..., 0, 0], A[..., 0, 1], A[..., 0, 2], A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]],
+        axis=-1,
+    )
 
-    The hard floor makes g non-differentiable, which is poison for the
-    Newton-form spectral polynomial when eigenvalues cluster around the
-    kink (the confluent fallbacks would be discontinuous).  We use the C^oo
-    barrier h(x) = x + floor * exp(-x / floor):
-        h(0) = floor           -> g(0) = 1/floor (exact floor behavior)
-        h(x) ~ x for x >> floor -> g ~ 1/x       (exact inverse behavior)
-    so g deviates from the reference's hard floor only in the transition
-    band around lambda ~ floor (where the reference itself is kinked).
+
+def unpack_sym6(a):
+    """Packed [..., 6] -> symmetric [..., 3, 3]."""
+    a00, a01, a02, a11, a12, a22 = (a[..., i] for i in range(6))
+    return jnp.stack(
+        [
+            jnp.stack([a00, a01, a02], axis=-1),
+            jnp.stack([a01, a11, a12], axis=-1),
+            jnp.stack([a02, a12, a22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def sym6_matvec(a, v):
+    """Packed symmetric [..., 6] times vector [..., 3] -> [..., 3]."""
+    a00, a01, a02, a11, a12, a22 = (a[..., i] for i in range(6))
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack(
+        [a00 * x + a01 * y + a02 * z, a01 * x + a11 * y + a12 * z, a02 * x + a12 * y + a22 * z],
+        axis=-1,
+    )
+
+
+def sym6_inner(a, b):
+    """<A, B> Frobenius inner product of packed symmetrics (off-diag doubled)."""
+    w = jnp.asarray([1.0, 2.0, 2.0, 1.0, 2.0, 1.0], dtype=a.dtype)
+    return jnp.sum(a * b * w, axis=-1)
+
+
+def sym_eigvals6(a):
+    """Eigenvalues of packed symmetric [..., 6], descending [..., 3].
+
+    Same trigonometric closed form as sym_eigvals3 but in packed columns —
+    pure elementwise VPU math, no [..., 3, 3] layouts on the hot path.
     """
+    a00, a01, a02, a11, a12, a22 = (a[..., i] for i in range(6))
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, _EPS))
+    detB = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    )
+    r = jnp.clip(detB / (2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    l1 = q + 2.0 * p * jnp.cos(phi)
+    l3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    l2 = 3.0 * q - l1 - l3
+    iso = p2 < _EPS
+    l1 = jnp.where(iso, q, l1)
+    l2 = jnp.where(iso, q, l2)
+    l3 = jnp.where(iso, q, l3)
+    return jnp.stack([l1, l2, l3], axis=-1)
+
+
+def _sym6_mul(a, b):
+    """Product of two packed symmetrics KNOWN to commute (same eigenbasis,
+    e.g. A + c1 I and A + c2 I) -> packed symmetric [..., 6]."""
+    p00, p01, p02, p11, p12, p22 = (a[..., i] for i in range(6))
+    q00, q01, q02, q11, q12, q22 = (b[..., i] for i in range(6))
+    return jnp.stack(
+        [
+            p00 * q00 + p01 * q01 + p02 * q02,
+            p00 * q01 + p01 * q11 + p02 * q12,
+            p00 * q02 + p01 * q12 + p02 * q22,
+            p01 * q01 + p11 * q11 + p12 * q12,
+            p01 * q02 + p11 * q12 + p12 * q22,
+            p02 * q02 + p12 * q12 + p22 * q22,
+        ],
+        axis=-1,
+    )
+
+
+def _add_diag6(a, c):
+    """a + c * I in packed form."""
+    d = jnp.stack([c, jnp.zeros_like(c), jnp.zeros_like(c), c, jnp.zeros_like(c), c], axis=-1)
+    return a + d
+
+
+def matrix_function_sym6(a, g, dg, d2g):
+    """g(A) for packed symmetric [..., 6] — the packed twin of
+    matrix_function_sym3 (bit-identical math, no 3x3 layouts)."""
+    lam = sym_eigvals6(a)
+    l1, l2, l3 = lam[..., 0], lam[..., 1], lam[..., 2]
+    dd1 = g(l1)
+    dd12 = _divided_diff(g, dg, l1, l2)
+    dd23 = _divided_diff(g, dg, l2, l3)
+    diff13 = l1 - l3
+    small13 = jnp.abs(diff13) < 1e-6
+    safe13 = jnp.where(small13, 1.0, diff13)
+    dd123 = jnp.where(small13, 0.5 * d2g((l1 + l3) * 0.5), (dd12 - dd23) / safe13)
+    a1 = _add_diag6(a, -l1)
+    a2 = _add_diag6(a, -l2)
+    prod = _sym6_mul(a1, a2)
+    out = _add_diag6(dd12[..., None] * a1 + dd123[..., None] * prod, dd1)
+    return out
+
+
+def floored_inverse_sym6(a, floor):
+    """Packed twin of floored_inverse_sym3: [..., 6] -> [..., 6]."""
+    fns = _floor_fns(floor)
+    return matrix_function_sym6(a, *fns)
+
+
+def _floor_fns(floor):
     m = floor
 
     def _e(x):
-        # clipped exponent: keeps h finite for (numerical-noise) negative
-        # eigenvalues so no NaN can leak out of masked junk cells
         return jnp.exp(jnp.clip(-x / m, -60.0, 30.0))
 
     def h(x):
@@ -124,4 +224,22 @@ def floored_inverse_sym3(A, floor):
         hx = jnp.maximum(h(x), _EPS)
         return (2.0 * hp(x) ** 2 / hx - hpp(x)) / (hx * hx)
 
-    return matrix_function_sym3(A, g, dg, d2g)
+    return g, dg, d2g
+
+
+def floored_inverse_sym3(A, floor):
+    """Eigenvalue-floored inverse V diag(1/max(lambda, floor)) V^T without
+    computing V (the information matrix, Gaussians.h:181-201).
+
+    The hard floor makes g non-differentiable, which is poison for the
+    Newton-form spectral polynomial when eigenvalues cluster around the
+    kink (the confluent fallbacks would be discontinuous).  We use the C^oo
+    barrier h(x) = x + floor * exp(-x / floor):
+        h(0) = floor           -> g(0) = 1/floor (exact floor behavior)
+        h(x) ~ x for x >> floor -> g ~ 1/x       (exact inverse behavior)
+    so g deviates from the reference's hard floor only in the transition
+    band around lambda ~ floor (where the reference itself is kinked).
+    (The clipped exponent in _floor_fns keeps h finite for numerical-noise
+    negative eigenvalues so no NaN can leak out of masked junk cells.)
+    """
+    return matrix_function_sym3(A, *_floor_fns(floor))

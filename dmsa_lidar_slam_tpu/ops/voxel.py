@@ -109,19 +109,27 @@ class RunBinning(NamedTuple):
     num_cells: jnp.ndarray
 
 
-def bin_runs(points, mask, grid_size, channel=None) -> RunBinning:
+def bin_runs(points, mask, grid_size, channel=None, payload=None):
     """Bin points into voxel runs (TPU fast path: sort + cummax/cummin only).
 
     Replaces the segment-id formulation for the optimizer's per-iteration
     cell builds: run boundaries come from one forward cummax and one reverse
     cummin over the sorted keys — no scatters, no argsort inverse.
+
+    `payload` (optional [N, W] f32) rides THROUGH the sort as extra
+    operands of lax.sort, so callers get their per-point data already in
+    sorted order without separate permutation gathers (individual [N]-row
+    gathers are latency-bound on TPU and dominated the optimizer profile).
+    Returns RunBinning, or (RunBinning, payload_sorted) when payload given.
     """
     n = points.shape[0]
     hi, lo = voxel_keys(points, mask, grid_size, channel)
-    order = jnp.lexsort((lo, hi))
-    hi_s = hi[order]
-    lo_s = lo[order]
-    valid_s = mask[order]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    operands = [hi, lo, iota, mask]
+    if payload is not None:
+        operands += [payload[:, i] for i in range(payload.shape[1])]
+    sorted_ops = jax.lax.sort(tuple(operands), num_keys=2, is_stable=True)
+    hi_s, lo_s, order, valid_s = sorted_ops[:4]
 
     new_cell = jnp.concatenate(
         [
@@ -129,14 +137,16 @@ def bin_runs(points, mask, grid_size, channel=None) -> RunBinning:
             (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
         ]
     )
-    iota = jnp.arange(n, dtype=jnp.int32)
     start = jax.lax.cummax(jnp.where(new_cell, iota, 0))
     # end of each point's run = first boundary strictly after it
     bpos = jnp.where(new_cell, iota, n)
     suffix_min = jax.lax.cummin(bpos, reverse=True)
     end = jnp.concatenate([suffix_min[1:], jnp.full((1,), n, jnp.int32)])
     num_cells = jnp.sum((new_cell & valid_s).astype(jnp.int32))
-    return RunBinning(order=order, new_cell=new_cell, start=start, end=end, num_cells=num_cells)
+    rb = RunBinning(order=order, new_cell=new_cell, start=start, end=end, num_cells=num_cells)
+    if payload is None:
+        return rb
+    return rb, jnp.stack(sorted_ops[4:], axis=1)
 
 
 def run_sums(values, start, end):

@@ -176,6 +176,7 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
     C = shapes.n_ctrl
 
     fwd_imu = ct.make_forward(wshapes, use_imu=True)
+    structured_window = ct.make_structured(wshapes, use_imu=True)
     T = c.lidar_to_imu_tform
     R_l2i = jnp.asarray(T[:3, :3], jnp.float32)
     t_l2i = jnp.asarray(T[:3, 3], jnp.float32)
@@ -218,6 +219,9 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
         n_keyframes=S_sub, n_pts_per_kf=shapes.kf_pts_cap
     )
     kf_fwd = kfm.make_forward(
+        sub_mshapes, use_grav_terms, c.use_odometry_term_in_keyframe_opt, True
+    )
+    kf_structured = kfm.make_structured(
         sub_mshapes, use_grav_terms, c.use_odometry_term_in_keyframe_opt, True
     )
     dist_submap_opt = None
@@ -444,6 +448,7 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
                 min_grid,
                 step_length=sc.step_length,
                 max_step=sc.max_step,
+                structured_fn=structured_window,
             )
             data = ct.decentralize(cdata, origin)
             params_opt = result.params
@@ -507,7 +512,14 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
                     )
                     smin_grid = dmap.min_grid_from(state.kf, from_id)
                     if dist_submap_opt is None:
-                        sres = opt.optimize(kf_fwd, sparams, sdata, settings_map, smin_grid)
+                        sres = opt.optimize(
+                            kf_fwd,
+                            sparams,
+                            sdata,
+                            settings_map,
+                            smin_grid,
+                            structured_fn=kf_structured,
+                        )
                         params_new = sres.params
                     else:
                         from dmsa_lidar_slam_tpu.parallel import keyframe_dist

@@ -49,12 +49,19 @@ def run(
     pipeline="fused",
     viz_every=0,
     profile_dir=None,
+    live_port=None,
 ):
     cfg = load_config(*config_paths, overrides=overrides)
     if result_dir:
         cfg.result_dir = result_dir
     if cfg.live_view and not viz_every:
         viz_every = CYCLIC_SAVE_EVERY
+    live = None
+    if live_port is not None:
+        from dmsa_lidar_slam_tpu.pipeline.live_view import LiveViewServer
+
+        live = LiveViewServer(port=live_port).start()
+        log.warning("live view at http://localhost:%d/", live.port)
     if pipeline == "fused":
         from dmsa_lidar_slam_tpu.pipeline.fused import FusedDmsaSlam
 
@@ -71,16 +78,21 @@ def run(
         prof = jax.profiler.trace(profile_dir)
         log.info("capturing jax profiler trace -> %s", profile_dir)
     with prof:
-        n_scans = _process_bags(slam, cfg, topics, max_scans, viz_every)
+        n_scans = _process_bags(slam, cfg, topics, max_scans, viz_every, live)
 
     wall = time.perf_counter() - t_start
     path = save_outputs(slam, cfg.result_dir, with_viz=bool(viz_every))
     log.info("processed %d scans in %.1fs -> %s", n_scans, wall, path)
     log.info("stage timings: %s", slam.metrics.summary())
+    if live is not None:
+        live.publish(slam, n_scans)  # final frame stays served until exit
     return slam
 
 
-def _process_bags(slam, cfg, topics, max_scans, viz_every):
+LIVE_PUBLISH_EVERY = 5  # scans between live-view snapshots (one transfer each)
+
+
+def _process_bags(slam, cfg, topics, max_scans, viz_every, live=None):
     n_scans = 0
     last_pc_stamp = None
     for msg in rosbag.read_messages_multi(cfg.bag_dirs, topics):
@@ -93,6 +105,8 @@ def _process_bags(slam, cfg, topics, max_scans, viz_every):
             last_pc_stamp = cloud.stamp
             slam.process_scan(pts, stamps, rings)
             n_scans += 1
+            if live is not None and n_scans % LIVE_PUBLISH_EVERY == 0:
+                live.publish(slam, n_scans)
             if n_scans % CYCLIC_SAVE_EVERY == 0:
                 save_outputs(slam, cfg.result_dir, with_viz=viz_every and n_scans % viz_every == 0)
             if max_scans and n_scans >= max_scans:
@@ -115,6 +129,14 @@ def main(argv=None):
         help="fused: device-resident one-dispatch-per-scan; host: reference-style orchestration",
     )
     parser.add_argument("--viz-every", type=int, default=0, help="export PLY/HTML viz every N scans")
+    parser.add_argument(
+        "--live-view-port",
+        type=int,
+        default=None,
+        help="serve a live map/trajectory view (RViz equivalent, "
+        "dmsa_slam_ros.cpp:322-372) at http://localhost:PORT/ while running "
+        "(0 = pick a free port)",
+    )
     parser.add_argument(
         "--profile-dir",
         default=None,
@@ -143,6 +165,7 @@ def main(argv=None):
         pipeline=args.pipeline,
         viz_every=args.viz_every,
         profile_dir=args.profile_dir,
+        live_port=args.live_view_port,
     )
 
 

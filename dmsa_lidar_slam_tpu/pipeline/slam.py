@@ -271,6 +271,7 @@ class DmsaSlam:
             params0 = cp.params_from_chain(chain)
 
         fwd = ct.make_forward(shapes, use_imu=use_imu_now)
+        structured = ct.make_structured(shapes, use_imu=use_imu_now)
 
         # map init from the first full window (DmsaSlam.h:153-157,469-498)
         if not self.kf_map.is_initialized:
@@ -295,7 +296,7 @@ class DmsaSlam:
         settings = self.settings_window_imu if use_imu_now else self.settings_window_no_imu
         with self.metrics.stage("window_optimize"):
             cdata, origin = ct.centralize(data)
-            result = opt.optimize(fwd, params0, cdata, settings, min_grid)
+            result = opt.optimize(fwd, params0, cdata, settings, min_grid, structured_fn=structured)
             data = ct.decentralize(cdata, origin)
             params_opt = result.params
         log.info(
@@ -524,8 +525,14 @@ class DmsaSlam:
             )
         else:
             fwd = kfm.make_forward(self.map_shapes, use_grav, use_odom, True)
+            kf_structured = kfm.make_structured(self.map_shapes, use_grav, use_odom, True)
             result = opt.optimize(
-                fwd, jnp.array(params0, dtype=pdt), data, self.settings_map, min_grid
+                fwd,
+                jnp.array(params0, dtype=pdt),
+                data,
+                self.settings_map,
+                min_grid,
+                structured_fn=kf_structured,
             )
             log.info(
                 "keyframe optim from %d: iters=%d stop=%d gaussians=%d",

@@ -187,6 +187,68 @@ def make_forward(shapes: WindowShapes, use_imu: bool):
     return jax.jit(forward)
 
 
+@lru_cache(maxsize=None)
+def make_structured(shapes: WindowShapes, use_imu: bool):
+    """Structured-Jacobian forward for the optimizer (see dmsa.optimizer).
+
+    Exploits the window problem's sparsity: a point's world position
+    depends ONLY on its dense-table entry (q_dense[idx], t_dense[idx]),
+    and the dense tables depend on the P parameters through a tiny graph
+    (control chain -> interp).  So the parameter Jacobian of the dense
+    tables (Dq [D,4,P], Dt [D,3,P]) is computed with P tangents over the
+    SMALL graph — no per-point work — and the per-point chain rule is one
+    closed-form VJP (quat_rotate_vjp_q) plus one gathered contraction.
+    Compare: autodiff value_and_jacfwd pushes P tangents through the FULL
+    per-point pipeline (P x deskew+residual memory traffic).
+
+    Static map points do not depend on the parameters: their rows are
+    exactly zero and never computed.
+    """
+
+    def structured(params, data: WindowData):
+        def tables(p):
+            chain, gp, q_dense, d_transl = dense_pose_tables(p, data, shapes)
+            if use_imu:
+                extra = imu_residuals(chain, gp, d_transl, data, shapes)
+            else:
+                extra = jnp.zeros((0,), dtype=p.dtype)
+            return q_dense, d_transl, extra
+
+        (q_d, t_d, extra), lin = jax.linearize(tables, params)
+        p_dim = params.shape[0]
+        eye = jnp.eye(p_dim, dtype=params.dtype)
+        dq, dt_, j_extra = jax.vmap(lin)(eye)  # [P,D,4], [P,D,3], [P,M]
+
+        q32 = q_d.astype(jnp.float32)
+        t32 = t_d.astype(jnp.float32)
+        qp = q32[data.pt_tform_idx]  # [NW,4]
+        tp = t32[data.pt_tform_idx]
+        pts_w = rot.quat_rotate(qp, data.local_pts) + tp
+
+        points = jnp.concatenate([pts_w, data.static_pts], axis=0)
+        mask = jnp.concatenate([data.pt_mask, data.static_mask])
+        rings = jnp.concatenate([data.pt_ring, data.static_ring])
+        out = ForwardOut(
+            points=points, mask=mask, ring_ids=rings, obs_weight=None, extra=extra
+        )
+
+        # per-point slices of the dense-table Jacobians, f32 like the points
+        gq = dq.astype(jnp.float32).transpose(1, 2, 0)[data.pt_tform_idx]  # [NW,4,P]
+        gt = dt_.astype(jnp.float32).transpose(1, 2, 0)[data.pt_tform_idx]  # [NW,3,P]
+        nw = shapes.n_window_pts
+
+        def contract(grad3_orig):
+            g = grad3_orig[:nw]
+            aq = rot.quat_rotate_vjp_q(qp, data.local_pts, g)  # [NW,4]
+            jp = jnp.einsum("nc,ncp->np", aq, gq) + jnp.einsum("nc,ncp->np", g, gt)
+            zeros = jnp.zeros((shapes.n_static, p_dim), dtype=jp.dtype)
+            return jnp.concatenate([jp, zeros], axis=0)
+
+        return out, contract, j_extra.T  # J_extra [M,P]
+
+    return structured
+
+
 def imu_residuals(chain, gp, d_transl, data: WindowData, shapes: WindowShapes):
     """IMU factor errors between consecutive control poses
     (updateImuError, ContinuousTrajectory.h:603-663).  Returns [C-1]."""

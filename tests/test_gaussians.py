@@ -84,8 +84,10 @@ def test_cell_residuals_match_direct(rng):
     pts, rings, mask = make_cloud(rng, n=500, spread=5.0)
     cs = gaussians.build_cells(jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(rings), 2.5, 6)
     res = np.asarray(gaussians.cell_residuals(jnp.asarray(pts), jnp.asarray(mask), cs))
+    from dmsa_lidar_slam_tpu.ops.eig3 import unpack_sym6
+
     pc = np.asarray(cs.point_cell)
-    info = np.asarray(cs.info)
+    info = np.asarray(unpack_sym6(cs.info6))
     weight = np.asarray(cs.weight)
     valid = np.asarray(cs.valid)
     for cid in range(len(res)):
