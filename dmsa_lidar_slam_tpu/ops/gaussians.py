@@ -144,8 +144,11 @@ def build_cells(
     n = points.shape[0]
     # per-point inputs ride THROUGH the sort as payload operands (separate
     # post-sort [N]-row gathers are latency-bound on TPU and showed up
-    # individually in the profile); ring ids and mask ride as f32 columns
-    # (ids < 2^24 are exact)
+    # individually in the profile); ring ids and mask ride as f32 columns.
+    # CONTRACT: ring_ids must fit in 24 bits (f32 mantissa) to stay exact in
+    # the payload — real lidar ring counts are <= 128 (OS-128) and the
+    # pipeline's synthesized ids are k % 1000 (dmsa_slam_ros.cpp:478), so
+    # the bound only matters if a caller invents giant ids.
     payload = jnp.concatenate(
         [
             points,

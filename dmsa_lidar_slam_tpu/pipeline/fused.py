@@ -912,21 +912,37 @@ class FusedDmsaSlam:
         stamps = np.array(self.state.kf.stamps)[:n] + base if n else np.zeros(0)
         return stamps, transl, orient
 
-    def map_points(self):
+    def map_points(self, first: int = 0):
         n = self.kf_count
-        if n == 0:
+        if n == 0 or first >= n:
             return None
         from scipy.spatial.transform import Rotation
 
-        pts = np.array(self.state.kf.local_pts)[:n]
-        msk = np.array(self.state.kf.pt_mask)[:n]
-        orient = np.array(self.state.kf.orient_w)[:n]
-        transl = np.array(self.state.kf.transl_w)[:n]
+        pts = np.array(self.state.kf.local_pts)[first:n]
+        msk = np.array(self.state.kf.pt_mask)[first:n]
+        orient = np.array(self.state.kf.orient_w)[first:n]
+        transl = np.array(self.state.kf.transl_w)[first:n]
         out = []
-        for k in range(n):
+        for k in range(n - first):
             R = Rotation.from_rotvec(orient[k]).as_matrix().astype(np.float32)
             out.append(pts[k][msk[k]] @ R.T + transl[k].astype(np.float32))
         return np.concatenate(out) if out else None
+
+    def submap_points(self, span: int = 8):
+        """Clouds of the most recent `span` keyframes — the live-view
+        equivalent of the reference's /dmsa_slam/submap publication
+        (dmsa_slam_ros.cpp:222-225)."""
+        return self.map_points(first=max(0, self.kf_count - span))
+
+    def current_pose(self):
+        """(position [3], rotvec [3]) of the latest keyframe pose."""
+        n = self.kf_count
+        if n == 0:
+            return None
+        return (
+            np.array(self.state.kf.transl_w[n - 1], float),
+            np.array(self.state.kf.orient_w[n - 1], float),
+        )
 
     def all_poses(self):
         """Full merged trajectory (retired + live keyframes + non-keyframe

@@ -50,6 +50,7 @@ def run(
     viz_every=0,
     profile_dir=None,
     live_port=None,
+    live_host="127.0.0.1",
 ):
     cfg = load_config(*config_paths, overrides=overrides)
     if result_dir:
@@ -60,7 +61,7 @@ def run(
     if live_port is not None:
         from dmsa_lidar_slam_tpu.pipeline.live_view import LiveViewServer
 
-        live = LiveViewServer(port=live_port).start()
+        live = LiveViewServer(port=live_port, host=live_host).start()
         log.warning("live view at http://localhost:%d/", live.port)
     if pipeline == "fused":
         from dmsa_lidar_slam_tpu.pipeline.fused import FusedDmsaSlam
@@ -138,6 +139,12 @@ def main(argv=None):
         "(0 = pick a free port)",
     )
     parser.add_argument(
+        "--live-view-host",
+        default="127.0.0.1",
+        help="bind address for the live view (default loopback; use "
+        "0.0.0.0 to expose it to the network)",
+    )
+    parser.add_argument(
         "--profile-dir",
         default=None,
         help="capture a jax profiler trace of the whole run into this "
@@ -148,7 +155,8 @@ def main(argv=None):
         "--distributed-keyframe-opt",
         action="store_true",
         help="shard the keyframe submap adjustment over jax.devices() "
-        "(BASELINE config 5; implies --pipeline host)",
+        "(BASELINE config 5; works in BOTH pipelines — the fused pipeline "
+        "runs it inside the per-scan jit step over its own mesh)",
     )
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
@@ -166,6 +174,7 @@ def main(argv=None):
         viz_every=args.viz_every,
         profile_dir=args.profile_dir,
         live_port=args.live_view_port,
+        live_host=args.live_view_host,
     )
 
 

@@ -624,12 +624,27 @@ class DmsaSlam:
             ow.transl_w[k] = t
 
     # ---------------------------------------------------------------- misc
-    def map_points(self):
+    def map_points(self, first: int = 0):
         """Assembled global keyframe map [N, 3] (for PCD export / viz)."""
-        if self.kf_map.count == 0:
+        if self.kf_map.count == 0 or first >= self.kf_map.count:
             return None
-        parts = [self.kf_map.global_cloud(k)[0] for k in range(self.kf_map.count)]
+        parts = [self.kf_map.global_cloud(k)[0] for k in range(first, self.kf_map.count)]
         return np.concatenate(parts, axis=0)
+
+    def submap_points(self, span: int = 8):
+        """Clouds of the most recent `span` keyframes (live-view equivalent
+        of the reference's /dmsa_slam/submap, dmsa_slam_ros.cpp:222-225)."""
+        return self.map_points(first=max(0, self.kf_map.count - span))
+
+    def current_pose(self):
+        """(position [3], rotvec [3]) of the latest keyframe pose."""
+        n = self.kf_map.count
+        if n == 0:
+            return None
+        return (
+            np.array(self.kf_map.transl_w[n - 1], float),
+            np.array(self.kf_map.orient_w[n - 1], float),
+        )
 
     def save_poses(self, result_dir: str) -> str:
         """savePoses (DmsaSlam.h:206-209)."""
