@@ -53,6 +53,23 @@ class ForwardOut(NamedTuple):
     split_ids: Optional[jnp.ndarray] = None  # [N] int32 cell-split channel
 
 
+class TabularProblem(NamedTuple):
+    """A problem in indexed-affine-table form for the fused Pallas kernels
+    (ops.fused_residuals): world point j = quat_rotate(q[idx_j], x_j) +
+    t[idx_j] with (q, t) rows of a small parameter-dependent pose table.
+
+    n_table       table rows INCLUDING the trailing identity row
+    tables        (params, data) -> (tab [n_table, 8] f32, extra [E])
+                  (quat wxyz + transl + pad; differentiable in params)
+    point_arrays  data -> (xs [N, 3] f32, tidx [N] i32) — parameter-free
+                  local points and table indices (static -> identity row)
+    """
+
+    n_table: int
+    tables: Callable
+    point_arrays: Callable
+
+
 @dataclasses.dataclass(frozen=True)
 class OptimSettings:
     """Mirror of DmsaOptimSettings (DmsaOptimizer.h:25-39). Static under jit."""
@@ -112,7 +129,7 @@ def value_and_jacfwd(fn: Callable, params: jnp.ndarray, chunk: int):
     return e0, jnp.concatenate(cols, axis=0).T  # [R], [R, P]
 
 
-@partial(jax.jit, static_argnums=(0, 3), static_argnames=("structured_fn",))
+@partial(jax.jit, static_argnums=(0, 3), static_argnames=("structured_fn", "tabular_fn"))
 def optimize(
     forward_fn: Callable[[jnp.ndarray, Any], ForwardOut],
     params0: jnp.ndarray,
@@ -122,6 +139,7 @@ def optimize(
     step_length=None,
     max_step=None,
     structured_fn=None,
+    tabular_fn: Optional[TabularProblem] = None,
 ) -> OptimResult:
     """Run the DMSA optimization (jit; forward_fn and settings are static).
 
@@ -173,7 +191,102 @@ def optimize(
                 )
         return tuple(cells)
 
+    def iteration_tabular(params):
+        """Fused-kernel iteration (ops.fused_residuals): the Gauss-Newton
+        normal equations and the ENTIRE line search each run as one Pallas
+        kernel over the merged sorted cell layout; candidate 0 of the line
+        search is the un-stepped params, so the no-improvement comparison
+        uses a single evaluation path (ADVICE r3 #2)."""
+        from dmsa_lidar_slam_tpu.ops import fused_residuals as fr
+
+        pdt = params.dtype
+        out = forward_fn(params, data)
+        xs, tidx = tabular_fn.point_arrays(data)
+        aux = jnp.concatenate([xs, tidx.astype(jnp.float32)[:, None]], axis=1)
+        cells, auxs = [], []
+        for factor in (settings.grid_size_1_factor, settings.grid_size_2_factor):
+            if factor > 1e-30:
+                c, a = gaussians.build_cells(
+                    out.points,
+                    out.mask,
+                    out.ring_ids,
+                    factor * min_grid_size,
+                    settings.min_num_points_per_set,
+                    obs_weight=out.obs_weight,
+                    split_ids=out.split_ids,
+                    aux=aux,
+                )
+                cells.append(c)
+                auxs.append(a)
+        merged = gaussians.concat_cells(cells, out.points.shape[0])
+        aux_m = auxs[0] if len(auxs) == 1 else jnp.concatenate(auxs, axis=0)
+        packed = fr.pack_rows(merged, aux_m[:, :3], aux_m[:, 3])
+        n_gauss = sum((c.num_valid for c in cells), jnp.array(0))
+
+        tab_fn = lambda p: tabular_fn.tables(p, data)
+        (tab, extra0), lin = jax.linearize(tab_fn, params)
+        eye = jnp.eye(num_params, dtype=pdt)
+        dtab, j_extra = jax.vmap(lin)(eye)  # [P, Dtab, 8], [P, E]
+
+        use_pallas = fr._use_pallas()
+        hext = (fr.gn_system if use_pallas else fr.gn_system_ref)(tab, dtab, packed)
+        H = hext[:num_params, :num_params].astype(pdt)
+        g = hext[:num_params, num_params].astype(pdt)
+        je = j_extra.astype(pdt)  # [P, E]
+        H = H + je @ je.T + settings.lambda_diag * jnp.eye(num_params, dtype=pdt)
+        g = g + je @ extra0.astype(pdt)
+        step = -step_length * jnp.linalg.solve(H, g)
+
+        nan_step = jnp.any(jnp.isnan(step))
+        step = jnp.where(nan_step, jnp.zeros_like(step), step)
+        max_elem = jnp.max(jnp.abs(step))
+        step = jnp.where(
+            max_elem > max_step_v,
+            (max_step_v / jnp.maximum(max_elem, 1e-30)) * step,
+            step,
+        )
+
+        ks = jnp.asarray(settings.line_search_fracs, dtype=pdt)
+        cand_params = jnp.concatenate(
+            [params[None, :], params[None, :] + ks[:, None] * step[None, :]], axis=0
+        )
+        tabs, extras = jax.vmap(tab_fn)(cand_params)
+        errs = (fr.cand_errors if use_pallas else fr.cand_errors_ref)(tabs, packed)
+        errs = errs.astype(pdt) + jnp.sum(extras.astype(pdt) ** 2, axis=1)
+        best = jnp.argmin(errs)
+        new_params = jnp.where(best > 0, cand_params[best], params)
+        new_error = errs[best]
+
+        too_few = n_gauss < settings.min_num_gaussians
+        no_improve = best == 0
+        eps_stop = jnp.linalg.norm(step) < settings.epsilon
+        stop_reason = jnp.where(
+            too_few,
+            STOP_TOO_FEW_GAUSSIANS,
+            jnp.where(
+                nan_step,
+                STOP_NAN,
+                jnp.where(
+                    no_improve,
+                    STOP_NO_IMPROVEMENT,
+                    jnp.where(eps_stop, STOP_EPSILON, STOP_NONE),
+                ),
+            ),
+        )
+        accept = ~(too_few | nan_step | no_improve)
+        params_out = jnp.where(accept, new_params, params)
+        done = too_few | nan_step | no_improve | eps_stop
+        return (
+            params_out,
+            done,
+            stop_reason.astype(jnp.int32),
+            new_error,
+            n_gauss.astype(jnp.int32),
+        )
+
     def iteration(params):
+        if tabular_fn is not None:
+            return iteration_tabular(params)
         if structured_fn is None:
             out = forward_fn(params, data)
             cells = build_all_cells_from(out)

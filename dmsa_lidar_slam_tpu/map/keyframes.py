@@ -197,6 +197,45 @@ def make_structured(shapes: MapShapes, use_gravity: bool, use_odometry: bool, us
     return structured
 
 
+@lru_cache(maxsize=None)
+def make_tabular(shapes: MapShapes, use_gravity: bool, use_odometry: bool):
+    """Tabular-problem adapter for the fused Pallas residual kernels
+    (ops.fused_residuals; consumed by dmsa.optimizer's tabular path).
+
+    The keyframe problem in table form: world point (k, j) =
+    quat_rotate(q_k, x_kj) + t_k (MapManagement.h:120-149) — one table row
+    per keyframe pose, point index = keyframe id.  (The unused identity
+    row is appended anyway so both problems share one kernel signature.)
+    """
+    from dmsa_lidar_slam_tpu.dmsa.optimizer import TabularProblem
+
+    s = shapes.n_keyframes
+
+    def tables(params, data: KeyframeMapData):
+        chain, gp = global_chain(params, data, shapes)
+        q = rot.axang2quat(gp.orient)  # [S,4]
+        extras = []
+        if use_gravity:
+            extras.append(gravity_residuals(gp, data))
+        if use_odometry:
+            extras.append(odometry_residuals(chain, data))
+        extra = jnp.concatenate(extras) if extras else jnp.zeros((0,), dtype=params.dtype)
+        tab = jnp.concatenate(
+            [q, gp.transl, jnp.zeros((s, 1), q.dtype)], axis=1
+        ).astype(jnp.float32)
+        ident = jnp.zeros((1, 8), jnp.float32).at[0, 0].set(1.0)
+        return jnp.concatenate([tab, ident], axis=0), extra
+
+    def point_arrays(data: KeyframeMapData):
+        xs = data.local_pts.reshape(-1, 3).astype(jnp.float32)
+        tidx = jnp.repeat(
+            jnp.arange(s, dtype=jnp.int32), shapes.n_pts_per_kf, total_repeat_length=s * shapes.n_pts_per_kf
+        )
+        return xs, tidx
+
+    return TabularProblem(n_table=s + 1, tables=tables, point_arrays=point_arrays)
+
+
 def gravity_residuals(gp: cp.GlobalPoses, data: KeyframeMapData):
     """Gravity error terms (updateGravityErrors, MapManagement.h:210-232).
 

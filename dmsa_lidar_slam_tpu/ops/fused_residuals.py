@@ -1,0 +1,545 @@
+"""Fused Pallas residual kernels for the DMSA Gauss-Newton loop.
+
+The optimizer's per-iteration cost on TPU is NOT flops — it is dozens of
+small latency-bound XLA ops: per-candidate [K, M]-shaped gathers of the
+sorted cell layout, log-depth cumsums, run-boundary gathers, layout copies,
+and the [M, P] Jacobian-row materialization (PROFILE.md r3).  Both DMSA
+problems share one structure that lets ALL of it fuse into two kernels:
+
+    world point j = quat_rotate(q_table[idx_j], x_j) + t_table[idx_j]
+
+an affine transform indexed into a SMALL pose table (window problem: the
+dense interpolated trajectory table, D ~ 501 rows, reference
+ContinuousTrajectory.h:129-156; keyframe problem: one row per keyframe
+pose, MapManagement.h:120-149).  Static map points ride as table row D,
+pinned to the identity transform — no special case in the kernel.
+
+Kernel 1 — cand_errors: the full line search.  For K candidate pose
+tables at once (candidate 0 = the un-stepped params, so the no-improvement
+comparison uses ONE evaluation path — closing ADVICE r3 #2), computes the
+total squared DMSA residual  sum_cells |q1_r - n_r * mean^T wL mean|
+(DmsaOptimizer.h:234-273 semantics with membership/Lambda frozen at the
+linearization point).  Per tile: one one-hot MXU matmul gathers all K
+tables at once, the quadratic forms are VPU channel math, and the per-run
+reduction is a segmented Hillis-Steele scan over the tile with a carry for
+runs crossing tile boundaries — no HBM gathers, no cumsum materialization,
+no layout copies.
+
+Kernel 2 — gn_system: the structured Gauss-Newton normal equations.  Uses
+the run identity   J_r = scale_r * (u_r - (wL s_bar_r)^T B_r)   with
+u_r = sum_j (wL d0_j)^T dp_j/dtheta and B_r = sum_j dp_j/dtheta, both
+accumulated in the same segmented scan, so H = J^T J, g = J^T e and
+error0 come out of ONE pass (one [JR, JR] MXU contraction per tile) —
+the [M, P] Jacobian never exists.  Replaces the reference's numeric
+forward differences (DmsaOptimizer.h:199-232: one full pipeline pass per
+parameter) at exactly-structured-Jacobian fidelity (dmsa.optimizer
+structured path, tests/test_structured_jac.py).
+
+Data layout: all per-point inputs are packed into ONE [16, M] f32 array
+(points on LANES — a [M, 3] array would waste 125/128 lanes per tile):
+
+    rows 0-2   x_j (local point; static points: world coords)
+    rows 3-5   mu0 (cell mean at build time)
+    rows 6-11  lamw6 (weight * Lambda, packed sym: 00,01,02,11,12,22)
+    row  12    w (validity 0/1 in sorted order)
+    row  13    table index as f32 (static -> identity row)
+    row  14    run-start flag (1.0 where a new cell begins)
+    row  15    1/count at VALID run-END rows, else 0 (mask + inverse count)
+
+M must be a multiple of 256 (guaranteed: every point capacity in the
+pipeline is).  Tables are [K, Dtab, 8] (quat wxyz, transl xyz, pad).
+"""
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+
+PACK_ROWS = 16
+
+
+def _use_pallas() -> bool:
+    import os
+
+    if os.environ.get("DMSA_PALLAS_INTERPRET", "0") == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _interpret() -> bool:
+    import os
+
+    if os.environ.get("DMSA_PALLAS_INTERPRET", "0") == "1":
+        return True
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+# --------------------------------------------------------------------------
+# packing
+# --------------------------------------------------------------------------
+
+
+def pack_rows(cells, xs_sorted, tidx_sorted):
+    """Build the [16, M] packed per-point input from a (merged) CellSet plus
+    the sorted local points / table indices (ridden through the cell-build
+    sort as aux payload, see gaussians.build_cells)."""
+    m = cells.order.shape[0]
+    i = jnp.arange(m, dtype=jnp.int32)
+    newc = (cells.start == i).astype(jnp.float32)
+    is_end = cells.end == i + 1
+    valid_mem = cells.valid_mem
+    if valid_mem is None:  # fallback: broadcast start-row validity
+        valid_mem = cells.valid[cells.start]
+    invn_end = jnp.where(
+        is_end & valid_mem, 1.0 / jnp.maximum(cells.count, 1.0), 0.0
+    ).astype(jnp.float32)
+    return jnp.concatenate(
+        [
+            xs_sorted.T.astype(jnp.float32),  # 0:3
+            cells.mu0.T.astype(jnp.float32),  # 3:6
+            cells.lamw6.T.astype(jnp.float32),  # 6:12
+            cells.w_sorted[None, :].astype(jnp.float32),  # 12
+            tidx_sorted[None, :].astype(jnp.float32),  # 13
+            newc[None, :],  # 14
+            invn_end[None, :],  # 15
+        ],
+        axis=0,
+    )
+
+
+def prep_tables(tabs):
+    """[K, Dtab, 8] candidate tables -> [K*8, Dpad] kernel operand."""
+    k, dtab, _ = tabs.shape
+    dpad = _round_up(dtab, 128)
+    t = tabs.astype(jnp.float32).transpose(0, 2, 1).reshape(k * 8, dtab)
+    return jnp.pad(t, ((0, 0), (0, dpad - dtab)))
+
+
+def prep_jac_tables(dtabs):
+    """[P, Dtab, 8] table Jacobian -> [7P, Dpad] kernel operand (row c*P+p =
+    d table[:, c] / d theta_p; the pad column 7 is dropped)."""
+    p, dtab, _ = dtabs.shape
+    dpad = _round_up(dtab, 128)
+    t = dtabs.astype(jnp.float32)[:, :, :7].transpose(2, 0, 1).reshape(7 * p, dtab)
+    return jnp.pad(t, ((0, 0), (0, dpad - dtab)))
+
+
+# --------------------------------------------------------------------------
+# channel-layout math helpers ([1, T] rows; usable inside and outside Pallas)
+# --------------------------------------------------------------------------
+
+
+def _qrot(qw, qx, qy, qz, vx, vy, vz):
+    """quat_rotate in channel layout (see core.rotations.quat_rotate)."""
+    tx = 2.0 * (qy * vz - qz * vy)
+    ty = 2.0 * (qz * vx - qx * vz)
+    tz = 2.0 * (qx * vy - qy * vx)
+    ox = vx + qw * tx + (qy * tz - qz * ty)
+    oy = vy + qw * ty + (qz * tx - qx * tz)
+    oz = vz + qw * tz + (qx * ty - qy * tx)
+    return ox, oy, oz
+
+
+def _vjpq(qw, qx, qy, qz, vx, vy, vz, gx, gy, gz):
+    """quat_rotate cotangent wrt q (see core.rotations.quat_rotate_vjp_q)."""
+    tx = 2.0 * (qy * vz - qz * vy)
+    ty = 2.0 * (qz * vx - qx * vz)
+    tz = 2.0 * (qx * vy - qy * vx)
+    aw = gx * tx + gy * ty + gz * tz
+    cvgx, cvgy, cvgz = vy * gz - vz * gy, vz * gx - vx * gz, vx * gy - vy * gx
+    ctgx, ctgy, ctgz = ty * gz - tz * gy, tz * gx - tx * gz, tx * gy - ty * gx
+    gux, guy, guz = gy * qz - gz * qy, gz * qx - gx * qz, gx * qy - gy * qx
+    cvux, cvuy, cvuz = vy * guz - vz * guy, vz * gux - vx * guz, vx * guy - vy * gux
+    ax = 2.0 * qw * cvgx + ctgx + 2.0 * cvux
+    ay = 2.0 * qw * cvgy + ctgy + 2.0 * cvuy
+    az = 2.0 * qw * cvgz + ctgz + 2.0 * cvuz
+    return aw, ax, ay, az
+
+
+def _sym6_mv(lam, vx, vy, vz):
+    """Packed symmetric matvec in channel layout; lam [6, T]."""
+    l00, l01, l02, l11, l12, l22 = (lam[i : i + 1] for i in range(6))
+    return (
+        l00 * vx + l01 * vy + l02 * vz,
+        l01 * vx + l11 * vy + l12 * vz,
+        l02 * vx + l12 * vy + l22 * vz,
+    )
+
+
+def _shift_right(x, s):
+    """Zero-filled right shift along the lane axis: out[:, i] = x[:, i-s]."""
+    c = x.shape[0]
+    return jnp.concatenate([jnp.zeros((c, s), x.dtype), x[:, :-s]], axis=1)
+
+
+def _seg_scan(v, f):
+    """Segmented inclusive prefix sum along lanes.
+
+    v [C, T] values, f [1, T] run-start flags (1.0 where a new run begins).
+    Returns (prefix [C, T], covered [1, T]) where prefix[:, i] sums v over
+    [start_of_run(i) .. i] (runs clipped to the tile) and covered[:, i] > 0
+    iff a run start exists in [0..i] (used for the cross-tile carry mask).
+    Hillis-Steele with log2(T) doubling steps, all lane shifts.
+    """
+    t = v.shape[1]
+    s = 1
+    while s < t:
+        v_sh = _shift_right(v, s)
+        f_sh = _shift_right(f, s)
+        v = v + jnp.where(f > 0.0, 0.0, v_sh)
+        f = jnp.maximum(f, f_sh)
+        s *= 2
+    return v, f
+
+
+# --------------------------------------------------------------------------
+# kernel 1: line-search candidate errors
+# --------------------------------------------------------------------------
+
+
+def _cand_kernel(k_cand, dpad, t_tile, n_tiles, tab_ref, pk_ref, out_ref, carry_ref):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    pk = pk_ref[:]  # [16, T]
+    xs = pk[0:3]
+    mu0 = pk[3:6]
+    lam = pk[6:12]
+    w = pk[12:13]
+    tidx = pk[13:14]
+    newc = pk[14:15]
+    invn_end = pk[15:16]
+
+    rowi = jax.lax.broadcasted_iota(jnp.float32, (dpad, t_tile), 0)
+    oh = (rowi == tidx).astype(jnp.float32)  # [Dpad, T]
+    tg = jax.lax.dot_general(
+        tab_ref[:], oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [8K, T]
+
+    rows = []
+    for k in range(k_cand):
+        qw, qx, qy, qz = (tg[8 * k + c : 8 * k + c + 1] for c in range(4))
+        tx3, ty3, tz3 = (tg[8 * k + 4 + c : 8 * k + 5 + c] for c in range(3))
+        px, py, pz = _qrot(qw, qx, qy, qz, xs[0:1], xs[1:2], xs[2:3])
+        d0x = (px + tx3 - mu0[0:1]) * w
+        d0y = (py + ty3 - mu0[1:2]) * w
+        d0z = (pz + tz3 - mu0[2:3]) * w
+        lx, ly, lz = _sym6_mv(lam, d0x, d0y, d0z)
+        quad = lx * d0x + ly * d0y + lz * d0z
+        rows += [d0x, d0y, d0z, quad]
+    v = jnp.concatenate(rows, axis=0)  # [4K, T]
+
+    prefix, covered = _seg_scan(v, newc)
+    # rows before the tile's first run start continue the previous tile's
+    # open run: add its carried prefix
+    prefix = prefix + jnp.where(covered > 0.0, 0.0, carry_ref[:, 0:1])
+    carry_ref[:, 0:1] = prefix[:, t_tile - 1 : t_tile]
+
+    contribs = []
+    for k in range(k_cand):
+        sx = prefix[4 * k : 4 * k + 1]
+        sy = prefix[4 * k + 1 : 4 * k + 2]
+        sz = prefix[4 * k + 2 : 4 * k + 3]
+        q1 = prefix[4 * k + 3 : 4 * k + 4]
+        cx, cy, cz = _sym6_mv(lam, sx, sy, sz)
+        corr = invn_end * (cx * sx + cy * sy + cz * sz)
+        val = q1 - corr
+        contribs.append(jnp.where(invn_end > 0.0, jnp.abs(val), 0.0))
+    cmat = jnp.concatenate(contribs, axis=0)  # [K, T]
+    out_ref[:, 0:1] += jnp.sum(cmat, axis=1, keepdims=True)
+
+
+@lru_cache(maxsize=None)
+def _cand_call(m, k_cand, dpad, t_tile):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_tiles = m // t_tile
+    kern = partial(_cand_kernel, k_cand, dpad, t_tile, n_tiles)
+
+    def call(tab, pk):
+        return pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((8 * k_cand, dpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((PACK_ROWS, t_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((k_cand, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((k_cand, 128), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((4 * k_cand, 128), jnp.float32)],
+            interpret=_interpret(),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 8 * k_cand * dpad * m + 60 * k_cand * m,
+                bytes_accessed=4 * (PACK_ROWS * m + 8 * k_cand * dpad * n_tiles),
+                transcendentals=0,
+            ),
+        )(tab, pk)
+
+    return jax.jit(call)
+
+
+def cand_errors(tabs, packed):
+    """Total squared DMSA cell residual per candidate pose table.
+
+    tabs [K, Dtab, 8] f32 (quat wxyz + transl + pad; row Dtab-1 should be
+    the identity for static points), packed [16, M] (pack_rows).
+    Returns err [K] f32 — sum over valid cells of |q1 - n * mean^T wL mean|,
+    equal to sum(cell_residuals^2) up to the 1e-30 sqrt epsilon.
+    """
+    k, dtab, _ = tabs.shape
+    m = packed.shape[1]
+    t_tile = 512 if m % 512 == 0 else 256
+    tab = prep_tables(tabs)
+    with jax.enable_x64(False):
+        out = _cand_call(m, k, tab.shape[1], t_tile)(tab, packed)
+    return out[:, 0]
+
+
+# --------------------------------------------------------------------------
+# kernel 2: Gauss-Newton normal equations (H, g, error0 in one pass)
+# --------------------------------------------------------------------------
+
+
+def _gn_kernel(p_dim, dpad, t_tile, jr, tab_ref, jtab_ref, pk_ref, out_ref, carry_ref):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    pk = pk_ref[:]
+    xs = pk[0:3]
+    mu0 = pk[3:6]
+    lam = pk[6:12]
+    w = pk[12:13]
+    tidx = pk[13:14]
+    newc = pk[14:15]
+    invn_end = pk[15:16]
+
+    rowi = jax.lax.broadcasted_iota(jnp.float32, (dpad, t_tile), 0)
+    oh = (rowi == tidx).astype(jnp.float32)
+    tg = jax.lax.dot_general(
+        tab_ref[:], oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [8, T] current-params table rows
+    mj = jax.lax.dot_general(
+        jtab_ref[:], oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [7P, T] gathered table Jacobian
+
+    qw, qx, qy, qz = (tg[c : c + 1] for c in range(4))
+    tx3, ty3, tz3 = (tg[4 + c : 5 + c] for c in range(3))
+    px, py, pz = _qrot(qw, qx, qy, qz, xs[0:1], xs[1:2], xs[2:3])
+    d0x = (px + tx3 - mu0[0:1]) * w
+    d0y = (py + ty3 - mu0[1:2]) * w
+    d0z = (pz + tz3 - mu0[2:3]) * w
+    lx, ly, lz = _sym6_mv(lam, d0x, d0y, d0z)
+    quad = lx * d0x + ly * d0y + lz * d0z
+
+    def contract7(cot):  # cot: 7 x [1, T] -> [P, T]
+        acc = cot[0] * mj[0:p_dim]
+        for c in range(1, 7):
+            acc = acc + cot[c] * mj[c * p_dim : (c + 1) * p_dim]
+        return acc
+
+    # u_j rows: cotangent (vjp_q(wL d0), wL d0)
+    aw, ax, ay, az = _vjpq(qw, qx, qy, qz, xs[0:1], xs[1:2], xs[2:3], lx, ly, lz)
+    u = contract7((aw, ax, ay, az, lx, ly, lz))  # [P, T]
+    # B rows: cotangents = the 3 basis vectors (masked by w)
+    zero = jnp.zeros_like(w)
+    b_rows = []
+    for m_axis in range(3):
+        g = [zero, zero, zero]
+        g[m_axis] = w
+        bw, bx, by, bz = _vjpq(qw, qx, qy, qz, xs[0:1], xs[1:2], xs[2:3], *g)
+        b_rows.append(contract7((bw, bx, by, bz, *g)))  # [P, T]
+
+    v = jnp.concatenate([d0x, d0y, d0z, quad, u] + b_rows, axis=0)  # [4+4P, T]
+    prefix, covered = _seg_scan(v, newc)
+    prefix = prefix + jnp.where(covered > 0.0, 0.0, carry_ref[:, 0:1])
+    carry_ref[:, 0:1] = prefix[:, t_tile - 1 : t_tile]
+
+    sx, sy, sz = prefix[0:1], prefix[1:2], prefix[2:3]
+    q1 = prefix[3:4]
+    ur = prefix[4 : 4 + p_dim]
+    b0 = prefix[4 + p_dim : 4 + 2 * p_dim]
+    b1 = prefix[4 + 2 * p_dim : 4 + 3 * p_dim]
+    b2 = prefix[4 + 3 * p_dim : 4 + 4 * p_dim]
+
+    cx, cy, cz = _sym6_mv(lam, sx, sy, sz)
+    val = q1 - invn_end * (cx * sx + cy * sy + cz * sz)
+    mask = invn_end > 0.0
+    r = jnp.sqrt(jnp.abs(val) + 1e-30)
+    scale = jnp.where(mask, jnp.sign(val) / r, 0.0)
+    # wL s_bar (s_bar = mean = svec / n)
+    wsx, wsy, wsz = (c * invn_end for c in (cx, cy, cz))
+    j_rows = scale * (ur - (wsx * b0 + wsy * b1 + wsz * b2))  # [P, T]
+    e_row = jnp.where(mask, r, 0.0)  # [1, T]
+    pad = jnp.zeros((jr - p_dim - 1, t_tile), jnp.float32)
+    jext = jnp.concatenate([j_rows, e_row, pad], axis=0)  # [JR, T]
+    out_ref[:] += jax.lax.dot_general(
+        jext, jext, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+@lru_cache(maxsize=None)
+def _gn_call(m, p_dim, dpad, t_tile):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_tiles = m // t_tile
+    jr = _round_up(p_dim + 1, 8)
+    kern = partial(_gn_kernel, p_dim, dpad, t_tile, jr)
+
+    def call(tab, jtab, pk):
+        return pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((8, dpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((7 * p_dim, dpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((PACK_ROWS, t_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((jr, jr), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((jr, jr), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((4 + 4 * p_dim, 128), jnp.float32)],
+            interpret=_interpret(),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * (8 + 7 * p_dim) * dpad * m + 2 * jr * jr * m + 80 * p_dim * m,
+                bytes_accessed=4 * (PACK_ROWS * m + (8 + 7 * p_dim) * dpad * n_tiles),
+                transcendentals=m,
+            ),
+        )(tab, jtab, pk)
+
+    return jax.jit(call)
+
+
+def gn_system(tab, dtabs, packed):
+    """One-pass Gauss-Newton normal equations over the cell residuals.
+
+    tab [Dtab, 8] f32 current-params pose table, dtabs [P, Dtab, 8] its
+    parameter Jacobian (from jax.linearize of the table builder), packed
+    [16, M] (pack_rows).  Returns Hext [P+1, P+1] f32 where
+    Hext[:P, :P] = J^T J, Hext[:P, P] = J^T e, Hext[P, P] = e^T e — over
+    the CELL residuals only (extra residual terms are combined by the
+    caller).
+    """
+    p_dim, dtab, _ = dtabs.shape
+    m = packed.shape[1]
+    t_tile = 512 if m % 512 == 0 else 256
+    tabp = prep_tables(tab[None])  # [8, Dpad]
+    jtab = prep_jac_tables(dtabs)  # [7P, Dpad]
+    with jax.enable_x64(False):
+        out = _gn_call(m, p_dim, tabp.shape[1], t_tile)(tabp, jtab, packed)
+    return out[: p_dim + 1, : p_dim + 1]
+
+
+# --------------------------------------------------------------------------
+# XLA reference implementations (tests + non-TPU fallback)
+# --------------------------------------------------------------------------
+
+
+def _seg_ids(newc):
+    return jnp.cumsum(newc.astype(jnp.int32)) - 1
+
+
+def cand_errors_ref(tabs, packed):
+    """Reference (pure XLA) implementation of cand_errors — same math via
+    segment_sum; used by tests and as the non-TPU fallback."""
+    m = packed.shape[1]
+    xs = packed[0:3].T
+    mu0 = packed[3:6].T
+    lam6 = packed[6:12].T
+    w = packed[12]
+    tidx = packed[13].astype(jnp.int32)
+    newc = packed[14]
+    invn_end = packed[15]
+    seg = _seg_ids(newc)
+
+    from dmsa_lidar_slam_tpu.core.rotations import quat_rotate
+    from dmsa_lidar_slam_tpu.ops.eig3 import sym6_matvec
+
+    def one(tab):
+        q = tab[:, 0:4][tidx].astype(jnp.float32)
+        t3 = tab[:, 4:7][tidx].astype(jnp.float32)
+        p = quat_rotate(q, xs) + t3
+        d0 = (p - mu0) * w[:, None]
+        quad = jnp.sum(sym6_matvec(lam6, d0) * d0, axis=1)
+        svec = jax.ops.segment_sum(d0, seg, num_segments=m)[seg]
+        q1 = jax.ops.segment_sum(quad, seg, num_segments=m)[seg]
+        corr = invn_end * jnp.sum(sym6_matvec(lam6, svec) * svec, axis=1)
+        val = q1 - corr
+        return jnp.sum(jnp.where(invn_end > 0.0, jnp.abs(val), 0.0))
+
+    return jax.vmap(one)(tabs)
+
+
+def gn_system_ref(tab, dtabs, packed):
+    """Reference (pure XLA) implementation of gn_system."""
+    m = packed.shape[1]
+    p_dim = dtabs.shape[0]
+    xs = packed[0:3].T
+    mu0 = packed[3:6].T
+    lam6 = packed[6:12].T
+    w = packed[12]
+    tidx = packed[13].astype(jnp.int32)
+    newc = packed[14]
+    invn_end = packed[15]
+    seg = _seg_ids(newc)
+
+    from dmsa_lidar_slam_tpu.core.rotations import quat_rotate, quat_rotate_vjp_q
+    from dmsa_lidar_slam_tpu.ops.eig3 import sym6_matvec
+
+    q = tab[:, 0:4][tidx].astype(jnp.float32)
+    t3 = tab[:, 4:7][tidx].astype(jnp.float32)
+    p = quat_rotate(q, xs) + t3
+    d0 = (p - mu0) * w[:, None]
+    wld0 = sym6_matvec(lam6, d0)
+    quad = jnp.sum(wld0 * d0, axis=1)
+
+    mt = dtabs.astype(jnp.float32)[:, :, :7].transpose(1, 2, 0)[tidx]  # [M,7,P]
+    aq = quat_rotate_vjp_q(q, xs, wld0)  # [M,4]
+    cot_u = jnp.concatenate([aq, wld0], axis=1)  # [M,7]
+    u = jnp.einsum("mc,mcp->mp", cot_u, mt)
+    b_rows = []
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    for ax in range(3):
+        g = jnp.broadcast_to(eye3[ax], (m, 3)) * w[:, None]
+        aqm = quat_rotate_vjp_q(q, xs, g)
+        cot = jnp.concatenate([aqm, g], axis=1)
+        b_rows.append(jnp.einsum("mc,mcp->mp", cot, mt))
+
+    svec = jax.ops.segment_sum(d0, seg, num_segments=m)[seg]
+    q1 = jax.ops.segment_sum(quad, seg, num_segments=m)[seg]
+    ur = jax.ops.segment_sum(u, seg, num_segments=m)[seg]
+    br = [jax.ops.segment_sum(b, seg, num_segments=m)[seg] for b in b_rows]
+
+    wls = sym6_matvec(lam6, svec) * invn_end[:, None]
+    val = q1 - invn_end * jnp.sum(sym6_matvec(lam6, svec) * svec, axis=1)
+    mask = invn_end > 0.0
+    r = jnp.sqrt(jnp.abs(val) + 1e-30)
+    scale = jnp.where(mask, jnp.sign(val) / r, 0.0)
+    j_rows = scale[:, None] * (
+        ur - (wls[:, 0:1] * br[0] + wls[:, 1:2] * br[1] + wls[:, 2:3] * br[2])
+    )
+    e_row = jnp.where(mask, r, 0.0)
+    jext = jnp.concatenate([j_rows, e_row[:, None]], axis=1)  # [M, P+1]
+    return jext.T @ jext

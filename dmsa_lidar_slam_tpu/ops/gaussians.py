@@ -23,7 +23,7 @@ no argsort inverse, and every residual evaluation (line search, Jacobian
 tangents) re-uses the frozen run structure with a single boundary gather.
 """
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +76,11 @@ class CellSet(NamedTuple):
     num_valid: jnp.ndarray
     num_raw: jnp.ndarray
     point_cell: jnp.ndarray
+    # member-aligned cell validity (True at EVERY member row of an accepted
+    # cell, not just the run start) — the fused Pallas residual kernels
+    # read validity at run-END rows, and a member-aligned form avoids a
+    # [N]-row bool gather per build (ops.fused_residuals)
+    valid_mem: Optional[jnp.ndarray] = None
 
 
 def segment_mean_cov(points, point_cell, point_weight, num_segments, indices_are_sorted=False):
@@ -127,6 +132,7 @@ def build_cells(
     min_points: int,
     obs_weight=None,
     split_ids=None,
+    aux=None,
 ) -> CellSet:
     """Bin points and compute accepted Gaussian cells at one resolution.
 
@@ -136,7 +142,11 @@ def build_cells(
     rebalancing weight (getWeightOfPointSet; OptimizablePointSet.h:52).
     split_ids optional [N] small ints subdividing voxels by surface
     orientation — the TPU-shaped analogue of the reference's normal-based
-    set splitting (Gaussians.h:27-85).
+    set splitting (Gaussians.h:27-85).  aux optional [N, A] f32 extra
+    per-point payload to ride through the sort; when given, returns
+    (CellSet, aux_sorted [N, A]) — used by the fused Pallas residual
+    kernels to obtain sorted local points / table indices without separate
+    post-sort gathers.
 
     Two cumsum rounds (member counts/means, then centered second moments),
     one [N,6] + one [N,3x3] boundary gather, zero scatters.
@@ -155,7 +165,8 @@ def build_cells(
             mask.astype(points.dtype)[:, None],
             ring_ids.astype(points.dtype)[:, None],
         ]
-        + ([] if obs_weight is None else [obs_weight[:, None]]),
+        + ([] if obs_weight is None else [obs_weight[:, None]])
+        + ([] if aux is None else [aux.astype(points.dtype)]),
         axis=1,
     )
     rb, packed = voxel.bin_runs(points, mask, grid_size, channel=split_ids, payload=payload)
@@ -164,10 +175,12 @@ def build_cells(
     pts_s = packed[:, :3]
     w_s = packed[:, 3]
     rings_s = packed[:, 4]
+    n_base = 5 if obs_weight is None else 6
     if obs_weight is None:
         obs_s = w_s
     else:
         obs_s = packed[:, 5] * w_s
+    aux_sorted = packed[:, n_base:] if aux is not None else None
 
     # ring diversity without segment_min/max: any consecutive in-run ring
     # change implies >= 2 distinct ids; all-equal runs have none.
@@ -195,7 +208,8 @@ def build_cells(
     m2 = p_incl[last] - p_excl  # valid at run-start rows
     cov6 = m2 / jnp.maximum(count_pp - 1.0, 1.0)[:, None]
 
-    valid = new_cell & (count_pp > 0.5) & (count_pp >= min_points) & diverse_pp
+    valid_mem = (count_pp > 0.5) & (count_pp >= min_points) & diverse_pp
+    valid = new_cell & valid_mem
 
     from dmsa_lidar_slam_tpu.ops.eig3 import floored_inverse_sym6
 
@@ -222,7 +236,7 @@ def build_cells(
     inv = jnp.zeros(n, dtype=start.dtype).at[order].set(start)
     point_cell = jnp.where(mask, inv, n - 1)
 
-    return CellSet(
+    cs = CellSet(
         order=order,
         start=start,
         end=end,
@@ -236,7 +250,9 @@ def build_cells(
         num_valid=num_valid,
         num_raw=rb.num_cells,
         point_cell=point_cell,
+        valid_mem=valid_mem,
     )
+    return cs if aux is None else (cs, aux_sorted)
 
 
 def concat_cells(cells_list, n_points: int) -> CellSet:
@@ -274,6 +290,9 @@ def concat_cells(cells_list, n_points: int) -> CellSet:
         num_valid=sum(c.num_valid for c in cells_list),
         num_raw=sum(c.num_raw for c in cells_list),
         point_cell=cells_list[0].point_cell,  # host consumers use res-0
+        valid_mem=(
+            cat("valid_mem") if all(c.valid_mem is not None for c in cells_list) else None
+        ),
     )
 
 

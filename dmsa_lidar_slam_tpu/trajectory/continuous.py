@@ -249,6 +249,45 @@ def make_structured(shapes: WindowShapes, use_imu: bool):
     return structured
 
 
+@lru_cache(maxsize=None)
+def make_tabular(shapes: WindowShapes, use_imu: bool):
+    """Tabular-problem adapter for the fused Pallas residual kernels
+    (ops.fused_residuals; consumed by dmsa.optimizer's tabular path).
+
+    The window problem in table form: world point j =
+    quat_rotate(q_dense[idx_j], x_j) + t_dense[idx_j]
+    (ContinuousTrajectory.h:129-156), with static map points pinned to an
+    appended identity row so the kernels need no special case.
+    """
+    from dmsa_lidar_slam_tpu.dmsa.optimizer import TabularProblem
+
+    d = shapes.n_dense
+
+    def tables(params, data: WindowData):
+        chain, gp, q_dense, d_transl = dense_pose_tables(params, data, shapes)
+        if use_imu:
+            extra = imu_residuals(chain, gp, d_transl, data, shapes)
+        else:
+            extra = jnp.zeros((0,), dtype=params.dtype)
+        tab = jnp.concatenate(
+            [q_dense, d_transl, jnp.zeros((d, 1), q_dense.dtype)], axis=1
+        ).astype(jnp.float32)
+        ident = jnp.zeros((1, 8), jnp.float32).at[0, 0].set(1.0)
+        return jnp.concatenate([tab, ident], axis=0), extra
+
+    def point_arrays(data: WindowData):
+        xs = jnp.concatenate([data.local_pts, data.static_pts], axis=0)
+        tidx = jnp.concatenate(
+            [
+                data.pt_tform_idx.astype(jnp.int32),
+                jnp.full((shapes.n_static,), d, jnp.int32),
+            ]
+        )
+        return xs.astype(jnp.float32), tidx
+
+    return TabularProblem(n_table=d + 1, tables=tables, point_arrays=point_arrays)
+
+
 def imu_residuals(chain, gp, d_transl, data: WindowData, shapes: WindowShapes):
     """IMU factor errors between consecutive control poses
     (updateImuError, ContinuousTrajectory.h:603-663).  Returns [C-1]."""

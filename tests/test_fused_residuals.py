@@ -1,0 +1,186 @@
+"""Fused Pallas residual kernels vs the existing XLA residual path.
+
+Validates (on CPU: the Pallas kernels run in interpret mode automatically):
+  - cand_errors_ref == sum(cell_residuals^2) per candidate (math identity)
+  - Pallas cand_errors == cand_errors_ref (kernel correctness, including
+    runs that span tile boundaries via the carry)
+  - gn_system_ref == autodiff J^T J / J^T e / e^T e (math identity)
+  - Pallas gn_system == gn_system_ref
+  - optimize(tabular_fn) converges like optimize(structured_fn) on a
+    keyframe submap problem
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dmsa_lidar_slam_tpu.core import rotations as rot
+from dmsa_lidar_slam_tpu.ops import fused_residuals as fr
+from dmsa_lidar_slam_tpu.ops import gaussians
+
+
+def _problem(seed=0, n=1024, dtab=34, grid=1.0, giant_cell=False):
+    """Random indexed-affine problem: local points + table + cells built on
+    the transformed world points (the optimizer's exact usage)."""
+    rng = np.random.default_rng(seed)
+    xs = rng.uniform(0, 4, size=(n, 3)).astype(np.float32)
+    if giant_cell:
+        # most points into one voxel -> a run spanning multiple 512 tiles
+        xs[: n // 2] = 0.5 + 0.2 * rng.standard_normal((n // 2, 3)).astype(np.float32)
+    mask = rng.uniform(size=n) > 0.1
+    rings = rng.integers(0, 8, size=n).astype(np.int32)
+    tidx = rng.integers(0, dtab - 1, size=n).astype(np.int32)
+    tidx[n // 8 :: 7] = dtab - 1  # some "static" rows on the identity
+
+    def rand_tab(key_rng, scale):
+        aa = scale * key_rng.standard_normal((dtab - 1, 3))
+        q = np.asarray(rot.axang2quat(jnp.asarray(aa)))
+        t = 0.5 * key_rng.standard_normal((dtab - 1, 3))
+        tab = np.concatenate([q, t, np.zeros((dtab - 1, 1))], axis=1).astype(np.float32)
+        ident = np.zeros((1, 8), np.float32)
+        ident[0, 0] = 1.0
+        return np.concatenate([tab, ident], axis=0)
+
+    tab0 = rand_tab(rng, 0.1)
+    world = np.asarray(
+        rot.quat_rotate(jnp.asarray(tab0[tidx, 0:4]), jnp.asarray(xs))
+        + jnp.asarray(tab0[tidx, 4:7])
+    )
+    aux = np.concatenate([xs, tidx[:, None].astype(np.float32)], axis=1)
+    cells, aux_s = gaussians.build_cells(
+        jnp.asarray(world), jnp.asarray(mask), jnp.asarray(rings), grid, 4, aux=jnp.asarray(aux)
+    )
+    packed = fr.pack_rows(cells, aux_s[:, :3], aux_s[:, 3])
+    return rng, xs, mask, rings, tidx, tab0, cells, packed, rand_tab
+
+
+@pytest.mark.parametrize("giant_cell", [False, True])
+def test_cand_errors_matches_cell_residuals(giant_cell):
+    rng, xs, mask, rings, tidx, tab0, cells, packed, rand_tab = _problem(
+        seed=1, giant_cell=giant_cell
+    )
+    tabs = np.stack([tab0] + [rand_tab(rng, 0.1) for _ in range(4)])
+
+    ref = fr.cand_errors_ref(jnp.asarray(tabs), packed)
+    # math identity: sum of squared cell residuals from the existing path
+    for k in range(len(tabs)):
+        world_k = rot.quat_rotate(
+            jnp.asarray(tabs[k][tidx, 0:4]), jnp.asarray(xs)
+        ) + jnp.asarray(tabs[k][tidx, 4:7])
+        res = gaussians.cell_residuals(world_k, jnp.asarray(mask), cells)
+        expect = float(jnp.sum(res.astype(jnp.float64) ** 2))
+        np.testing.assert_allclose(float(ref[k]), expect, rtol=2e-4)
+
+    # Pallas kernel (interpret mode on CPU) == reference
+    out = fr.cand_errors(jnp.asarray(tabs), packed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4)
+
+
+@pytest.mark.parametrize("giant_cell", [False, True])
+def test_gn_system_matches_autodiff(giant_cell):
+    rng, xs, mask, rings, tidx, tab0, cells, packed, rand_tab = _problem(
+        seed=2, giant_cell=giant_cell
+    )
+    p_dim = 6
+    dtabs = (0.1 * rng.standard_normal((p_dim, tab0.shape[0], 8))).astype(np.float32)
+    dtabs[:, -1, :] = 0.0  # identity row is parameter-free
+
+    hext_ref = fr.gn_system_ref(jnp.asarray(tab0), jnp.asarray(dtabs), packed)
+
+    # autodiff oracle: residual vector as a function of theta (tab-linear)
+    def res_vec(theta):
+        tab = jnp.asarray(tab0) + jnp.tensordot(theta, jnp.asarray(dtabs), axes=1)
+        world = rot.quat_rotate(tab[:, 0:4][jnp.asarray(tidx)], jnp.asarray(xs)) + tab[
+            :, 4:7
+        ][jnp.asarray(tidx)]
+        return gaussians.cell_residuals(world.astype(jnp.float32), jnp.asarray(mask), cells)
+
+    theta0 = jnp.zeros(p_dim, jnp.float32)
+    e0 = res_vec(theta0)
+    j = jax.jacfwd(res_vec)(theta0)  # [M, P]
+    jext = jnp.concatenate([j, e0[:, None]], axis=1).astype(jnp.float64)
+    hext_ad = jext.T @ jext
+    np.testing.assert_allclose(
+        np.asarray(hext_ref), np.asarray(hext_ad), rtol=2e-3, atol=2e-4
+    )
+
+    # Pallas kernel (interpret mode) == reference
+    hext = fr.gn_system(jnp.asarray(tab0), jnp.asarray(dtabs), packed)
+    np.testing.assert_allclose(
+        np.asarray(hext), np.asarray(hext_ref), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_optimize_tabular_matches_structured_keyframe():
+    """End-to-end: the tabular (fused-kernel) optimizer path converges to
+    the same submap solution as the structured path."""
+    from dmsa_lidar_slam_tpu.dmsa import optimizer as opt
+    from dmsa_lidar_slam_tpu.map import keyframes as kfm
+    from tests.synthetic import sample_scene_points
+
+    rng = np.random.default_rng(5)
+    shapes = kfm.MapShapes(n_keyframes=4, n_pts_per_kf=512)
+    pts = sample_scene_points(rng, 512).astype(np.float32)
+    rings = rng.integers(0, 8, size=512).astype(np.int32)
+
+    local = np.stack([pts for _ in range(4)])
+    normals = np.zeros_like(local)
+    normals[..., 2] = 1.0
+    true_o = 0.05 * rng.standard_normal((4, 3))
+    true_t = np.array([[0, 0, 0], [0.5, 0, 0], [1.0, 0.1, 0], [1.5, 0.1, 0.05]])
+    # express each keyframe's cloud in its own frame so the true poses
+    # reassemble one consistent world cloud
+    from scipy.spatial.transform import Rotation
+
+    for k in range(4):
+        R = Rotation.from_rotvec(true_o[k]).as_matrix()
+        local[k] = (pts - true_t[k]) @ R
+
+    pdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    data = kfm.KeyframeMapData(
+        local_pts=jnp.asarray(local, jnp.float32),
+        local_normals=jnp.asarray(normals, jnp.float32),
+        pt_mask=jnp.ones((4, 512), bool),
+        pt_ring=jnp.asarray(np.stack([rings] * 4)),
+        grid_size=jnp.full((4,), 0.25, jnp.float32),
+        kf_mask=jnp.ones((4,), bool),
+        anchor_orient=jnp.asarray(true_o[0], pdt),
+        anchor_transl=jnp.asarray(true_t[0], pdt),
+        stamps=jnp.arange(4, dtype=jnp.float64),
+        grav_meas=jnp.zeros((4, 3), pdt),
+        grav_plausible=jnp.zeros((4,), bool),
+        odom_rel_transl=jnp.zeros((4, 3), pdt),
+        odom_rel_orient=jnp.zeros((4, 3), pdt),
+        gravity=jnp.asarray([0.0, 0.0, -9.805], pdt),
+        cov_grav_inv=jnp.eye(3, dtype=pdt),
+        odom_transl_cov_inv=jnp.eye(3, dtype=pdt),
+        odom_orient_cov_inv=jnp.eye(3, dtype=pdt),
+        balancing_grav=jnp.asarray(0.0, pdt),
+        balancing_odom=jnp.asarray(0.0, pdt),
+    )
+
+    # perturbed initial params (relative chain from the true global poses)
+    from dmsa_lidar_slam_tpu.core import poses as cp
+
+    gp = cp.GlobalPoses(orient=jnp.asarray(true_o, pdt), transl=jnp.asarray(true_t, pdt))
+    chain = cp.global2relative(gp)
+    params_true = cp.params_from_chain(chain)
+    params0 = params_true + 0.03 * jnp.asarray(rng.standard_normal(params_true.shape), pdt)
+
+    settings = opt.OptimSettings(num_iter=8, min_num_points_per_set=4, min_num_gaussians=5)
+    fwd = kfm.make_forward(shapes, False, False, False)
+    structured = kfm.make_structured(shapes, False, False, False)
+    tabular = kfm.make_tabular(shapes, False, False)
+
+    r_struct = opt.optimize(fwd, params0, data, settings, 0.25, structured_fn=structured)
+    r_tab = opt.optimize(fwd, params0, data, settings, 0.25, tabular_fn=tabular)
+
+    # both should move toward the truth; final params comparable
+    d0 = float(jnp.linalg.norm(params0 - params_true))
+    ds = float(jnp.linalg.norm(r_struct.params - params_true))
+    dt = float(jnp.linalg.norm(r_tab.params - params_true))
+    assert ds < 0.7 * d0
+    assert dt < 0.7 * d0
+    assert abs(dt - ds) < 0.35 * d0
