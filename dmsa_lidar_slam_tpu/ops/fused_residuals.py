@@ -176,13 +176,23 @@ def _sym6_mv(lam, vx, vy, vz):
     )
 
 
-def _shift_right(x, s):
-    """Zero-filled right shift along the lane axis: out[:, i] = x[:, i-s]."""
-    c = x.shape[0]
-    return jnp.concatenate([jnp.zeros((c, s), x.dtype), x[:, :-s]], axis=1)
+def _shift_right(x, s, interp=True):
+    """Zero-filled right shift along the lane axis: out[:, i] = x[:, i-s].
+
+    Compiled Mosaic path: circular tpu roll + mask (lane-offset
+    concatenates trip a Mosaic relayout bug); interpret/XLA path: concat of
+    a zero block and a slice."""
+    if interp:
+        c = x.shape[0]
+        return jnp.concatenate([jnp.zeros((c, s), x.dtype), x[:, :-s]], axis=1)
+    from jax.experimental.pallas import tpu as pltpu
+
+    rolled = pltpu.roll(x, s, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(col < s, jnp.zeros_like(x), rolled)
 
 
-def _seg_scan(v, f):
+def _seg_scan(v, f, interp=True):
     """Segmented inclusive prefix sum along lanes.
 
     v [C, T] values, f [1, T] run-start flags (1.0 where a new run begins).
@@ -194,8 +204,8 @@ def _seg_scan(v, f):
     t = v.shape[1]
     s = 1
     while s < t:
-        v_sh = _shift_right(v, s)
-        f_sh = _shift_right(f, s)
+        v_sh = _shift_right(v, s, interp)
+        f_sh = _shift_right(f, s, interp)
         v = v + jnp.where(f > 0.0, 0.0, v_sh)
         f = jnp.maximum(f, f_sh)
         s *= 2
@@ -207,7 +217,7 @@ def _seg_scan(v, f):
 # --------------------------------------------------------------------------
 
 
-def _cand_kernel(k_cand, dpad, t_tile, n_tiles, tab_ref, pk_ref, out_ref, carry_ref):
+def _cand_kernel(k_cand, dpad, t_tile, interp, tab_ref, pk_ref, out_ref, carry_ref):
     import jax.experimental.pallas as pl
 
     i = pl.program_id(0)
@@ -226,8 +236,8 @@ def _cand_kernel(k_cand, dpad, t_tile, n_tiles, tab_ref, pk_ref, out_ref, carry_
     newc = pk[14:15]
     invn_end = pk[15:16]
 
-    rowi = jax.lax.broadcasted_iota(jnp.float32, (dpad, t_tile), 0)
-    oh = (rowi == tidx).astype(jnp.float32)  # [Dpad, T]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (dpad, t_tile), 0)
+    oh = (rowi == tidx.astype(jnp.int32)).astype(jnp.float32)  # [Dpad, T]
     tg = jax.lax.dot_general(
         tab_ref[:], oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [8K, T]
@@ -245,7 +255,7 @@ def _cand_kernel(k_cand, dpad, t_tile, n_tiles, tab_ref, pk_ref, out_ref, carry_
         rows += [d0x, d0y, d0z, quad]
     v = jnp.concatenate(rows, axis=0)  # [4K, T]
 
-    prefix, covered = _seg_scan(v, newc)
+    prefix, covered = _seg_scan(v, newc, interp)
     # rows before the tile's first run start continue the previous tile's
     # open run: add its carried prefix
     prefix = prefix + jnp.where(covered > 0.0, 0.0, carry_ref[:, 0:1])
@@ -271,7 +281,7 @@ def _cand_call(m, k_cand, dpad, t_tile):
     from jax.experimental.pallas import tpu as pltpu
 
     n_tiles = m // t_tile
-    kern = partial(_cand_kernel, k_cand, dpad, t_tile, n_tiles)
+    kern = partial(_cand_kernel, k_cand, dpad, t_tile, _interpret())
 
     def call(tab, pk):
         return pl.pallas_call(
@@ -317,7 +327,7 @@ def cand_errors(tabs, packed):
 # --------------------------------------------------------------------------
 
 
-def _gn_kernel(p_dim, dpad, t_tile, jr, tab_ref, jtab_ref, pk_ref, out_ref, carry_ref):
+def _gn_kernel(p_dim, dpad, t_tile, jr, interp, tab_ref, jtab_ref, pk_ref, out_ref, carry_ref):
     import jax.experimental.pallas as pl
 
     i = pl.program_id(0)
@@ -336,8 +346,8 @@ def _gn_kernel(p_dim, dpad, t_tile, jr, tab_ref, jtab_ref, pk_ref, out_ref, carr
     newc = pk[14:15]
     invn_end = pk[15:16]
 
-    rowi = jax.lax.broadcasted_iota(jnp.float32, (dpad, t_tile), 0)
-    oh = (rowi == tidx).astype(jnp.float32)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (dpad, t_tile), 0)
+    oh = (rowi == tidx.astype(jnp.int32)).astype(jnp.float32)
     tg = jax.lax.dot_general(
         tab_ref[:], oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [8, T] current-params table rows
@@ -373,7 +383,7 @@ def _gn_kernel(p_dim, dpad, t_tile, jr, tab_ref, jtab_ref, pk_ref, out_ref, carr
         b_rows.append(contract7((bw, bx, by, bz, *g)))  # [P, T]
 
     v = jnp.concatenate([d0x, d0y, d0z, quad, u] + b_rows, axis=0)  # [4+4P, T]
-    prefix, covered = _seg_scan(v, newc)
+    prefix, covered = _seg_scan(v, newc, interp)
     prefix = prefix + jnp.where(covered > 0.0, 0.0, carry_ref[:, 0:1])
     carry_ref[:, 0:1] = prefix[:, t_tile - 1 : t_tile]
 
@@ -407,7 +417,7 @@ def _gn_call(m, p_dim, dpad, t_tile):
 
     n_tiles = m // t_tile
     jr = _round_up(p_dim + 1, 8)
-    kern = partial(_gn_kernel, p_dim, dpad, t_tile, jr)
+    kern = partial(_gn_kernel, p_dim, dpad, t_tile, jr, _interpret())
 
     def call(tab, jtab, pk):
         return pl.pallas_call(

@@ -177,6 +177,16 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
 
     fwd_imu = ct.make_forward(wshapes, use_imu=True)
     structured_window = ct.make_structured(wshapes, use_imu=True)
+    # fused Pallas residual kernels (ops.fused_residuals) carry the GN loop
+    # on TPU; elsewhere the structured-Jacobian XLA path remains (the
+    # kernels' XLA reference fallback is slower than the structured path on
+    # CPU).  DMSA_FUSED_TABULAR=1 forces the tabular path for e2e testing.
+    import os as _os
+
+    from dmsa_lidar_slam_tpu.ops import fused_residuals as _fr
+
+    use_tabular = _fr._use_pallas() or _os.environ.get("DMSA_FUSED_TABULAR", "0") == "1"
+    tabular_window = ct.make_tabular(wshapes, use_imu=True) if use_tabular else None
     T = c.lidar_to_imu_tform
     R_l2i = jnp.asarray(T[:3, :3], jnp.float32)
     t_l2i = jnp.asarray(T[:3, 3], jnp.float32)
@@ -223,6 +233,11 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
     )
     kf_structured = kfm.make_structured(
         sub_mshapes, use_grav_terms, c.use_odometry_term_in_keyframe_opt, True
+    )
+    kf_tabular = (
+        kfm.make_tabular(sub_mshapes, use_grav_terms, c.use_odometry_term_in_keyframe_opt)
+        if use_tabular
+        else None
     )
     dist_submap_opt = None
     if mesh is not None and mesh.devices.size > 1:
@@ -449,6 +464,7 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
                 step_length=sc.step_length,
                 max_step=sc.max_step,
                 structured_fn=structured_window,
+                tabular_fn=tabular_window,
             )
             data = ct.decentralize(cdata, origin)
             params_opt = result.params
@@ -519,6 +535,7 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
                             settings_map,
                             smin_grid,
                             structured_fn=kf_structured,
+                            tabular_fn=kf_tabular,
                         )
                         params_new = sres.params
                     else:
