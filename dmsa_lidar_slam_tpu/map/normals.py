@@ -34,9 +34,12 @@ def estimate_normals(points, mask, grid_size, viewpoint=None, k: int = K_NEIGHBO
     d = (neigh - mean[:, None, :]) * w[:, :, None]
     cov = jnp.einsum("nki,nkj->nij", d, d) / jnp.maximum(cnt - 1.0, 1.0)[:, None, None]
 
-    # smallest-eigenvalue eigenvector
-    evals, evecs = jnp.linalg.eigh(cov)
-    normal = evecs[:, :, 0]
+    # smallest-eigenvalue eigenvector, closed form (ops.eig3) — iterative
+    # jnp.linalg.eigh lowers poorly on TPU and this runs inside the fused
+    # per-scan jit on every keyframe scan (VERDICT r3 #7)
+    from dmsa_lidar_slam_tpu.ops.eig3 import smallest_eigvec_sym3
+
+    normal = smallest_eigvec_sym3(cov)
 
     # orient toward viewpoint (PCL flipNormalTowardsViewpoint)
     to_vp = viewpoint[None, :] - points

@@ -243,3 +243,33 @@ def floored_inverse_sym3(A, floor):
     negative eigenvalues so no NaN can leak out of masked junk cells.)
     """
     return matrix_function_sym3(A, *_floor_fns(floor))
+
+
+def smallest_eigvec_sym3(A):
+    """Unit eigenvector of the SMALLEST eigenvalue of symmetric [..., 3, 3].
+
+    Closed form, branch-free (no iterative eigh — it lowers poorly on TPU,
+    the reason this module exists): the null space of B = A - lam_min I is
+    spanned by any nonzero cross product of two rows of B; the candidate
+    with the largest norm is numerically best.  Near-degenerate spectra
+    (lam2 ~ lam_min) make the direction ill-defined mathematically; the
+    argmax still returns a valid unit vector in the eigenspace.  Fully
+    degenerate (isotropic) inputs fall back to +z.
+    """
+    lam_min = sym_eigvals3(A)[..., 2]
+    eye = jnp.eye(3, dtype=A.dtype)
+    B = A - lam_min[..., None, None] * eye
+    r0, r1, r2 = B[..., 0, :], B[..., 1, :], B[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c12 = jnp.cross(r1, r2)
+    c20 = jnp.cross(r2, r0)
+    cands = jnp.stack([c01, c12, c20], axis=-2)  # [..., 3, 3]
+    norms = jnp.sum(cands * cands, axis=-1)  # [..., 3]
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, axis=-1), axis=-2)[
+        ..., 0, :
+    ]
+    nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    fallback = jnp.zeros_like(v).at[..., 2].set(1.0)
+    ok = nrm[..., 0] > 1e-20
+    return jnp.where(ok[..., None], v / jnp.where(ok[..., None], nrm, 1.0), fallback)

@@ -169,15 +169,28 @@ def random_downsample_mask(points, mask, grid_size, key):
     Functional equivalent of randomGridDownsampling (helpers.h:67-106) with
     counter-based PRNG instead of srand(time(0)).  Returns a boolean keep
     mask [N] (true for exactly one valid point per occupied voxel).
+
+    One lax.sort by (voxel key, random priority): the first member of each
+    run is a uniformly random member of its voxel, so keep = run-start flag
+    scattered back through the sort permutation — no segment_min scatter,
+    no inverse-permutation argsort, no priority gathers (those dominated
+    the preprocessing device profile).
     """
     n = points.shape[0]
-    binning = bin_points(points, mask, grid_size)
-    # random priority per point; segment-min selects a uniform random member
-    prio = jax.random.permutation(key, n)
-    prio_orig = jnp.where(mask, prio, n + 1)
-    prio_sorted = prio_orig[binning.order]
-    seg_min = jax.ops.segment_min(prio_sorted, binning.seg_ids, num_segments=n)
-    keep = prio_orig == seg_min[binning.point_cell]
+    hi, lo = voxel_keys(points, mask, grid_size)
+    prio = jax.random.bits(key, (n,), jnp.uint32).astype(jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    hi_s, lo_s, _, order, valid_s = jax.lax.sort(
+        (hi, lo, prio, iota, mask), num_keys=3, is_stable=False
+    )
+    new_cell = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=bool),
+            (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
+        ]
+    )
+    keep_sorted = new_cell & valid_s
+    keep = jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)
     return keep & mask
 
 

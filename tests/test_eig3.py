@@ -68,3 +68,18 @@ def test_f32_accuracy(rng):
     # f32 with values up to 1/floor = 1e4: accept relative error 1%
     rel = np.abs(got - want) / (np.abs(want) + 1.0)
     assert np.quantile(rel, 0.99) < 0.02, np.quantile(rel, 0.99)
+
+
+def test_smallest_eigvec_matches_eigh():
+    from dmsa_lidar_slam_tpu.ops.eig3 import smallest_eigvec_sym3
+
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((256, 3, 3))
+    a = jnp.asarray(m @ m.transpose(0, 2, 1) + 0.01 * np.eye(3))
+    v = np.asarray(smallest_eigvec_sym3(a))
+    _, evecs = np.linalg.eigh(np.asarray(a))
+    ref = evecs[:, :, 0]
+    # eigenvectors match up to sign
+    dots = np.abs(np.sum(v * ref, axis=1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-6)
