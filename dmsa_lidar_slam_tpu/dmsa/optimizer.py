@@ -200,35 +200,34 @@ def optimize(
         from dmsa_lidar_slam_tpu.ops import fused_residuals as fr
 
         pdt = params.dtype
+        use_pallas = fr._use_pallas()
         out = forward_fn(params, data)
         xs, tidx = tabular_fn.point_arrays(data)
-        aux = jnp.concatenate([xs, tidx.astype(jnp.float32)[:, None]], axis=1)
-        cells, auxs = [], []
+        build = fr.build_packed if use_pallas else fr.build_packed_ref
+        packs, nvs = [], []
         for factor in (settings.grid_size_1_factor, settings.grid_size_2_factor):
             if factor > 1e-30:
-                c, a = gaussians.build_cells(
+                pk, nv, _ = build(
                     out.points,
                     out.mask,
                     out.ring_ids,
+                    xs,
+                    tidx,
                     factor * min_grid_size,
                     settings.min_num_points_per_set,
                     obs_weight=out.obs_weight,
                     split_ids=out.split_ids,
-                    aux=aux,
                 )
-                cells.append(c)
-                auxs.append(a)
-        merged = gaussians.concat_cells(cells, out.points.shape[0])
-        aux_m = auxs[0] if len(auxs) == 1 else jnp.concatenate(auxs, axis=0)
-        packed = fr.pack_rows(merged, aux_m[:, :3], aux_m[:, 3])
-        n_gauss = sum((c.num_valid for c in cells), jnp.array(0))
+                packs.append(pk)
+                nvs.append(nv)
+        packed = packs[0] if len(packs) == 1 else jnp.concatenate(packs, axis=1)
+        n_gauss = sum(nvs, jnp.array(0))
 
         tab_fn = lambda p: tabular_fn.tables(p, data)
         (tab, extra0), lin = jax.linearize(tab_fn, params)
         eye = jnp.eye(num_params, dtype=pdt)
         dtab, j_extra = jax.vmap(lin)(eye)  # [P, Dtab, 8], [P, E]
 
-        use_pallas = fr._use_pallas()
         hext = (fr.gn_system if use_pallas else fr.gn_system_ref)(tab, dtab, packed)
         H = hext[:num_params, :num_params].astype(pdt)
         g = hext[:num_params, num_params].astype(pdt)

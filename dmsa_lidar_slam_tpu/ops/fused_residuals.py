@@ -553,3 +553,371 @@ def gn_system_ref(tab, dtabs, packed):
     e_row = jnp.where(mask, r, 0.0)
     jext = jnp.concatenate([j_rows, e_row[:, None]], axis=1)  # [M, P+1]
     return jext.T @ jext
+
+
+# --------------------------------------------------------------------------
+# kernel 3: cell build — sorted payload -> packed per-point input
+# --------------------------------------------------------------------------
+#
+# Replaces everything build_cells does AFTER the voxel sort (two cumsum
+# rounds with boundary gathers, the eigenvalue-floored inverse, weight
+# normalization, the member-aligned lamw6 gather, and pack_rows) with ONE
+# pallas_call of two phases over the sorted tiles:
+#
+#   phase 0 (forward):  segmented scans accumulate per-run count / mean /
+#     second moments (around a run-local origin = the run's first member,
+#     broadcast forward by the same scan machinery, so f32 cancellation
+#     stays at within-cell scale), ring diversity, and observation sums;
+#     at run-END rows the covariance -> floored inverse -> unnormalized
+#     weight*Lambda and the cell mean are computed and parked in a VMEM
+#     "endstats" scratch; global sums (valid count, raw-weight sum) land in
+#     a scalar scratch.
+#   phase 1 (reverse):  a BACKWARD segmented broadcast carries the end-row
+#     stats to every member (tiles visited right-to-left via the index
+#     map), applies the now-known global weight normalization, and emits
+#     the [16, T] packed block (pack_rows layout) directly.
+#
+# Semantics match gaussians.build_cells exactly (same acceptance rules,
+# same normalization, same smooth floor) up to f32 summation order.
+
+
+def _acos3(r):
+    """acos(r) / 3 without an acos primitive (Mosaic lowers neither acos
+    nor atan): Abramowitz-Stegun 4.4.45 polynomial seed (|err| < 6.7e-5)
+    + one Newton step on cos(3*phi) = r, which restores ~f32 accuracy
+    everywhere the derivative is nonzero; at r -> +-1 (repeated
+    eigenvalues) the step is suppressed and the seed's error is absorbed
+    by the divided-difference fallbacks downstream."""
+    x = jnp.abs(r)
+    poly = jnp.sqrt(jnp.maximum(1.0 - x, 0.0)) * (
+        1.5707288 + x * (-0.2121144 + x * (0.0742610 - 0.0187293 * x))
+    )
+    acos = jnp.where(r >= 0.0, poly, jnp.pi - poly)
+    phi = acos / 3.0
+    s3 = jnp.sin(3.0 * phi)
+    d = jnp.cos(3.0 * phi) - r
+    denom = 3.0 * s3
+    step = jnp.where(jnp.abs(denom) > 1e-6, d / jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0), 0.0)
+    return phi + step
+
+
+def _eigvals6_rows(a):
+    """sym_eigvals6 in channel layout: a = [6, T] rows -> (l1, l2, l3)
+    descending, each [1, T] (port of ops.eig3.sym_eigvals6)."""
+    a00, a01, a02, a11, a12, a22 = (a[i : i + 1] for i in range(6))
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)) / 6.0
+    eps = 1e-30
+    p = jnp.sqrt(jnp.maximum(p2, eps))
+    detb = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    )
+    r = jnp.clip(detb / (2.0 * p * p * p), -1.0, 1.0)
+    phi = _acos3(r)
+    l1 = q + 2.0 * p * jnp.cos(phi)
+    l3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    l2 = 3.0 * q - l1 - l3
+    iso = p2 < eps
+    l1 = jnp.where(iso, q, l1)
+    l2 = jnp.where(iso, q, l2)
+    l3 = jnp.where(iso, q, l3)
+    return l1, l2, l3
+
+
+def _floored_inverse6_rows(a, floor):
+    """ops.eig3.floored_inverse_sym6 in channel layout ([6, T] -> [6, T]);
+    same smooth-barrier spectral polynomial, bit-for-bit math."""
+    m = floor
+
+    def _e(x):
+        return jnp.exp(jnp.clip(-x / m, -60.0, 30.0))
+
+    def h(x):
+        return x + m * _e(x)
+
+    def hp(x):
+        return 1.0 - _e(x)
+
+    def g(x):
+        return 1.0 / h(x)
+
+    def dg(x):
+        return -hp(x) / jnp.maximum(h(x) ** 2, 1e-30)
+
+    l1, l2, l3 = _eigvals6_rows(a)
+    dd1 = g(l1)
+
+    def _ddiff(la, lb):
+        diff = la - lb
+        small = jnp.abs(diff) < 1e-6
+        safe = jnp.where(small, 1.0, diff)
+        return jnp.where(small, dg(0.5 * (la + lb)), (g(la) - g(lb)) / safe)
+
+    dd12 = _ddiff(l1, l2)
+    dd23 = _ddiff(l2, l3)
+    diff13 = l1 - l3
+    small13 = jnp.abs(diff13) < 1e-6
+
+    def d2g(x):
+        hx = jnp.maximum(h(x), 1e-30)
+        hpp = _e(x) / m
+        return (2.0 * hp(x) ** 2 / hx - hpp) / (hx * hx)
+
+    safe13 = jnp.where(small13, 1.0, diff13)
+    dd123 = jnp.where(small13, 0.5 * d2g((l1 + l3) * 0.5), (dd12 - dd23) / safe13)
+
+    a00, a01, a02, a11, a12, a22 = (a[i : i + 1] for i in range(6))
+    # A1 = A - l1 I, A2 = A - l2 I; prod = A1 @ A2 (commuting packed product)
+    p00, p11, p22 = a00 - l1, a11 - l1, a22 - l1
+    q00, q11, q22 = a00 - l2, a11 - l2, a22 - l2
+    r00 = p00 * q00 + a01 * a01 + a02 * a02
+    r01 = p00 * a01 + a01 * q11 + a02 * a12
+    r02 = p00 * a02 + a01 * a12 + a02 * q22
+    r11 = a01 * a01 + p11 * q11 + a12 * a12
+    r12 = a01 * a02 + p11 * a12 + a12 * q22
+    r22 = a02 * a02 + a12 * a12 + p22 * q22
+    o00 = dd12 * p00 + dd123 * r00 + dd1
+    o01 = dd12 * a01 + dd123 * r01
+    o02 = dd12 * a02 + dd123 * r02
+    o11 = dd12 * p11 + dd123 * r11 + dd1
+    o12 = dd12 * a12 + dd123 * r12
+    o22 = dd12 * p22 + dd123 * r22 + dd1
+    return jnp.concatenate([o00, o01, o02, o11, o12, o22], axis=0)
+
+
+def _shift_left(x, s, interp=True):
+    """Zero-filled left shift along lanes: out[:, i] = x[:, i+s]."""
+    if interp:
+        c = x.shape[0]
+        return jnp.concatenate([x[:, s:], jnp.zeros((c, s), x.dtype)], axis=1)
+    from jax.experimental.pallas import tpu as pltpu
+
+    # roll is circular with a non-negative shift; left-shift by s == roll
+    # by T - s, wrapped lanes masked off
+    rolled = pltpu.roll(x, x.shape[1] - s, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(col >= x.shape[1] - s, jnp.zeros_like(x), rolled)
+
+
+def _seg_scan_rev(v, f, interp=True):
+    """Backward segmented inclusive scan (suffix sums within runs, flags at
+    run ENDS).  Mirror of _seg_scan."""
+    t = v.shape[1]
+    s = 1
+    while s < t:
+        v_sh = _shift_left(v, s, interp)
+        f_sh = _shift_left(f, s, interp)
+        v = v + jnp.where(f > 0.0, 0.0, v_sh)
+        f = jnp.maximum(f, f_sh)
+        s *= 2
+    return v, f
+
+
+def _build_kernel(
+    t_tile, n_tiles, min_points, floor, interp, kin_ref, out_ref, stats_ref, end_ref, carry_ref
+):
+    # refs: 1 input, 2 outputs (packed VMEM block, stats SMEM [1,2] with a
+    # constant index map — revisited every step, so += accumulates), then
+    # the endstats + carry scratch
+    import jax.experimental.pallas as pl
+
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, t_tile), 1)
+
+    @pl.when((p == 0) & (i == 0))
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+        stats_ref[0, 0] = 0.0  # SMEM accepts scalar stores only
+        stats_ref[0, 1] = 0.0
+
+    kin = kin_ref[:]  # [12, T]
+    pts = kin[0:3]
+    xs = kin[3:6]
+    w = kin[6:7]
+    ring = kin[7:8]
+    obs = kin[8:9]
+    tidx = kin[9:10]
+    newc = kin[10:11]
+    is_end = kin[11:12]
+
+    @pl.when(p == 0)
+    def _fwd():
+        # ring-prev across the tile boundary (carry row 12)
+        rp = _shift_right(ring, 1, interp)
+        rp = jnp.where(col == 0, carry_ref[12:13, 0:1], rp)
+        carry_ref[12:13, 0:1] = ring[:, t_tile - 1 : t_tile]
+        ringdiff = ((newc == 0.0) & (ring != rp)).astype(jnp.float32)
+
+        # scan A: broadcast the run's first member (origin) forward
+        o, cov_o = _seg_scan(newc * pts, newc, interp)
+        o = o + jnp.where(cov_o > 0.0, 0.0, carry_ref[0:3, 0:1])
+        carry_ref[0:3, 0:1] = o[:, t_tile - 1 : t_tile]
+
+        d = (pts - o) * w
+        dx, dy, dz = d[0:1], d[1:2], d[2:3]
+        outer = jnp.concatenate(
+            [dx * dx, dx * dy, dx * dz, dy * dy, dy * dz, dz * dz], axis=0
+        )
+        vals = jnp.concatenate([w, d, outer, ringdiff, obs], axis=0)  # [12, T]
+        pref, cov_b = _seg_scan(vals, newc, interp)
+        pref = pref + jnp.where(cov_b > 0.0, 0.0, carry_ref[0:12, 128:129])
+        carry_ref[0:12, 128:129] = pref[:, t_tile - 1 : t_tile]
+
+        n = pref[0:1]
+        safe_n = jnp.maximum(n, 1.0)
+        mean = pref[1:4] / safe_n
+        mx, my, mz = mean[0:1], mean[1:2], mean[2:3]
+        mouter = jnp.concatenate(
+            [mx * mx, mx * my, mx * mz, my * my, my * mz, mz * mz], axis=0
+        )
+        cov6 = (pref[4:10] - n * mouter) / jnp.maximum(n - 1.0, 1.0)
+        diverse = pref[10:11] > 0.5
+        validf = ((n > 0.5) & (n >= float(min_points)) & diverse).astype(jnp.float32)
+        vend = validf * is_end
+
+        info6 = _floored_inverse6_rows(cov6, floor)
+        raw_w = pref[11:12] / (safe_n * safe_n)
+        lam6u = info6 * (raw_w * validf)
+        mu0 = o + mean
+        invn_end = vend / safe_n
+
+        end_ref[0:6, pl.ds(i * t_tile, t_tile)] = lam6u
+        end_ref[6:9, pl.ds(i * t_tile, t_tile)] = mu0
+        end_ref[9:10, pl.ds(i * t_tile, t_tile)] = invn_end
+
+        stats_ref[0, 0] += jnp.sum(vend)
+        stats_ref[0, 1] += jnp.sum(vend * raw_w)
+        # pass through (overwritten in phase 1; keeps the out buffer defined)
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(p == 1)
+    def _bwd():
+        @pl.when(i == 0)
+        def _():
+            carry_ref[0:9, 0:1] = jnp.zeros((9, 1), jnp.float32)
+
+        es = end_ref[:, pl.ds((n_tiles - 1 - i) * t_tile, t_tile)]  # [10, T]
+        bvals = es[0:9] * is_end
+        bv, cov_r = _seg_scan_rev(bvals, is_end, interp)
+        bv = bv + jnp.where(cov_r > 0.0, 0.0, carry_ref[0:9, 0:1])
+        carry_ref[0:9, 0:1] = bv[:, 0:1]
+
+        n_valid = stats_ref[0, 0]
+        sum_raw = stats_ref[0, 1]
+        wnorm = n_valid / jnp.maximum(sum_raw, 1e-30)
+
+        out_ref[0:3] = xs
+        out_ref[3:6] = bv[6:9]  # mu0 broadcast
+        out_ref[6:12] = bv[0:6] * wnorm  # lamw6, normalized
+        out_ref[12:13] = w
+        out_ref[13:14] = tidx
+        out_ref[14:15] = newc
+        out_ref[15:16] = es[9:10]  # invn at valid end rows
+
+
+@lru_cache(maxsize=None)
+def _build_call(n, t_tile, min_points, floor):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_tiles = n // t_tile
+    interp = _interpret()
+    kern = partial(_build_kernel, t_tile, n_tiles, min_points, floor, interp)
+
+    def idx(p, i):
+        return (0, jnp.where(p == 0, i, n_tiles - 1 - i))
+
+    def call(kin):
+        packed, stats = pl.pallas_call(
+            kern,
+            grid=(2, n_tiles),
+            in_specs=[pl.BlockSpec((12, t_tile), idx, memory_space=pltpu.VMEM)],
+            out_specs=(
+                pl.BlockSpec((PACK_ROWS, t_tile), idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((PACK_ROWS, n), jnp.float32),
+                jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((10, n), jnp.float32),
+                pltpu.VMEM((16, 256), jnp.float32),
+            ],
+            interpret=interp,
+            cost_estimate=pl.CostEstimate(
+                flops=400 * n, bytes_accessed=4 * n * (12 + 16 + 2 * 10), transcendentals=4 * n
+            ),
+        )(kin)
+        return packed, stats
+
+    return jax.jit(call)
+
+
+def build_packed(points_w, mask, ring_ids, xs, tidx, grid_size, min_points, obs_weight=None, split_ids=None):
+    """One-resolution cell build straight to the packed kernel input.
+
+    Sort + run-boundary flags in XLA, everything after in the build kernel.
+    Returns (packed [16, N], num_valid [], num_raw []).  Semantics =
+    gaussians.build_cells + pack_rows (tests/test_fused_residuals.py pins
+    the equivalence; f32 summation order differs, and the run-local-origin
+    moments are the numerically safer of the two).
+    """
+    from dmsa_lidar_slam_tpu.ops import voxel
+    from dmsa_lidar_slam_tpu.ops.gaussians import COV_EIG_FLOOR
+
+    n = points_w.shape[0]
+    hi, lo = voxel.voxel_keys(points_w, mask, grid_size, channel=split_ids)
+    wf = mask.astype(jnp.float32)
+    obs = wf if obs_weight is None else obs_weight.astype(jnp.float32) * wf
+    ops_in = (
+        hi,
+        lo,
+        points_w[:, 0],
+        points_w[:, 1],
+        points_w[:, 2],
+        wf,
+        ring_ids.astype(jnp.float32),
+        obs,
+        xs[:, 0],
+        xs[:, 1],
+        xs[:, 2],
+        tidx.astype(jnp.float32),
+    )
+    s = jax.lax.sort(ops_in, num_keys=2, is_stable=True)
+    hi_s, lo_s = s[0], s[1]
+    newc = jnp.concatenate(
+        [jnp.ones((1,), bool), (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]
+    )
+    is_end = jnp.concatenate([newc[1:], jnp.ones((1,), bool)])
+    w_s = s[5]
+    kin = jnp.stack(
+        list(s[2:5])  # p
+        + list(s[8:11])  # xs
+        + [w_s, s[6], s[7], s[11]]  # w, ring, obs, tidx
+        + [newc.astype(jnp.float32), is_end.astype(jnp.float32)],
+        axis=0,
+    )
+    num_raw = jnp.sum(newc & (w_s > 0.5))
+    t_tile = 512 if n % 512 == 0 else 256
+    with jax.enable_x64(False):
+        packed, stats = _build_call(n, t_tile, int(min_points), float(COV_EIG_FLOOR))(kin)
+    return packed, stats[0, 0].astype(jnp.int32), num_raw
+
+
+def build_packed_ref(points_w, mask, ring_ids, xs, tidx, grid_size, min_points, obs_weight=None, split_ids=None):
+    """Reference path: gaussians.build_cells + pack_rows (the pre-kernel
+    implementation) — test oracle and non-TPU fallback."""
+    from dmsa_lidar_slam_tpu.ops import gaussians
+
+    aux = jnp.concatenate([xs, tidx.astype(jnp.float32)[:, None]], axis=1)
+    cells, aux_s = gaussians.build_cells(
+        points_w, mask, ring_ids, grid_size, min_points,
+        obs_weight=obs_weight, split_ids=split_ids, aux=aux,
+    )
+    packed = pack_rows(cells, aux_s[:, :3], aux_s[:, 3])
+    return packed, cells.num_valid, cells.num_raw

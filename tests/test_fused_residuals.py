@@ -184,3 +184,53 @@ def test_optimize_tabular_matches_structured_keyframe():
     assert ds < 0.7 * d0
     assert dt < 0.7 * d0
     assert abs(dt - ds) < 0.35 * d0
+
+
+@pytest.mark.parametrize("giant_cell,with_obs", [(False, False), (True, True)])
+def test_build_packed_matches_ref(giant_cell, with_obs):
+    """The build kernel (interpret mode on CPU) reproduces build_cells +
+    pack_rows: same packed layout, same acceptance, same normalization.
+    f32 summation order differs, so stats tolerances are loose where the
+    eigenvalue floor amplifies covariance rounding."""
+    rng = np.random.default_rng(7)
+    n = 1024
+    xs = rng.uniform(0, 4, size=(n, 3)).astype(np.float32)
+    if giant_cell:
+        xs[: n // 2] = 0.5 + 0.2 * rng.standard_normal((n // 2, 3)).astype(np.float32)
+    mask = rng.uniform(size=n) > 0.1
+    rings = rng.integers(0, 8, size=n).astype(np.int32)
+    tidx = rng.integers(0, 33, size=n).astype(np.int32)
+    obs = rng.uniform(0.5, 2.0, size=n).astype(np.float32) if with_obs else None
+    split = rng.integers(0, 4, size=n).astype(np.int32) if with_obs else None
+    world = jnp.asarray(xs + 0.1)  # any world positions; binning input
+
+    args = (world, jnp.asarray(mask), jnp.asarray(rings), jnp.asarray(xs),
+            jnp.asarray(tidx), 1.0, 4)
+    kw = dict(obs_weight=None if obs is None else jnp.asarray(obs),
+              split_ids=None if split is None else jnp.asarray(split))
+    pk, nv, nr = fr.build_packed(*args, **kw)
+    pk_ref, nv_ref, nr_ref = fr.build_packed_ref(*args, **kw)
+
+    assert int(nv) == int(nv_ref)
+    assert int(nr) == int(nr_ref)
+    pk = np.asarray(pk)
+    pk_ref = np.asarray(pk_ref)
+    # exact rows: xs, w, tidx, newc
+    np.testing.assert_array_equal(pk[12:15], pk_ref[12:15])
+    np.testing.assert_allclose(pk[0:3], pk_ref[0:3], atol=1e-6)
+    # invn_end: same end rows, same counts
+    np.testing.assert_allclose(pk[15], pk_ref[15], atol=1e-6)
+    # mu0 (only meaningful where lamw6 != 0, i.e. valid cells)
+    sel = np.abs(pk_ref[6:12]).sum(axis=0) > 0
+    np.testing.assert_allclose(pk[3:6, sel], pk_ref[3:6, sel], atol=1e-4)
+    # lamw6: floored-inverse amplifies f32 covariance rounding near the
+    # floor; compare with a scale-aware tolerance
+    scale = np.abs(pk_ref[6:12, sel]).max()
+    np.testing.assert_allclose(pk[6:12, sel], pk_ref[6:12, sel], atol=0.02 * scale)
+    # and the residuals they induce agree tightly in aggregate
+    tabs = jnp.asarray(np.stack([np.concatenate([
+        np.tile(np.array([[1, 0, 0, 0, 0.1, 0, 0, 0]], np.float32), (33, 1)),
+        np.array([[1, 0, 0, 0, 0, 0, 0, 0]], np.float32)])]))
+    e_k = fr.cand_errors_ref(tabs, jnp.asarray(pk))
+    e_r = fr.cand_errors_ref(tabs, jnp.asarray(pk_ref))
+    np.testing.assert_allclose(np.asarray(e_k), np.asarray(e_r), rtol=0.02)
