@@ -40,8 +40,16 @@ import numpy as np
 ATE_GATE_M = 0.03  # tightened from 0.10 (VERDICT r3: 8x margin hid regressions)
 SEEDS = (3, 4, 7)  # multi-seed gate (VERDICT r2: single-seed is a coin flip)
 
+# realistic long-run gates (VERDICT r3 #2): >= 30 s closed-loop circuit at
+# OS-128 raw scale (131072 pts/rev), noisy+biased IMU, keyframe retirement
+# AND revisit-driven deep submap spans; drift compounds here, so this is
+# the regime the short bench cannot police
+LONG_ATE_GATE_M = 0.05  # measured 0.0105 on the idle chip
+LONG_MIN_SPAN = 17  # the uncapped suffix must demonstrably exceed 16
+LONG_SCANS = 310
 
-def pregenerate(seq, n_scans: int, pts_per_scan: int = 20000):
+
+def pregenerate(seq, n_scans: int, pts_per_scan: int = 20000, n_rings: int = 16):
     """Materialize the sensor stream up front (like a bag already decoded in
     RAM): per scan a (points, stamps, rings, imu_ts, imu_acc, imu_gyr)."""
     out = []
@@ -49,7 +57,7 @@ def pregenerate(seq, n_scans: int, pts_per_scan: int = 20000):
     for i in range(n_scans):
         t_end = seq.t_start + (i + 1) * seq.sweep
         ts, acc, gyr = seq.imu_samples(t_imu, t_end)
-        pts, stamps, rings = seq.scan(i, pts_per_scan)
+        pts, stamps, rings = seq.scan(i, pts_per_scan, n_rings=n_rings)
         out.append((pts, stamps, rings, ts, acc, gyr))
         t_imu = t_end
     return out
@@ -99,6 +107,48 @@ def run_sequence(cfg, seq, data, timed_range, traced: int = 0):
     return slam, wall, warm, dev_ms
 
 
+def run_long(seed: int = 3, n_scans: int = LONG_SCANS, n_warm: int = 10):
+    """The realistic long benchmark, pre-generated into RAM like the short
+    one (~1 GB at 131072 points/scan) so the timed region contains only
+    what the SLAM system does."""
+    from dmsa_lidar_slam_tpu.io.synthetic import ate_rmse, long_config, long_sequence
+    from dmsa_lidar_slam_tpu.pipeline.fused import FusedDmsaSlam
+
+    seq = long_sequence(seed)
+    t_g0 = time.perf_counter()
+    data = pregenerate(seq, n_scans, pts_per_scan=131072, n_rings=128)
+    gen_s = time.perf_counter() - t_g0
+
+    slam = FusedDmsaSlam(long_config(), flush_every=20)
+    t_c0 = time.perf_counter()
+    for i in range(n_warm):
+        feed(slam, data[i])
+    _ = slam.kf_count
+    compile_s = time.perf_counter() - t_c0
+
+    t0 = time.perf_counter()
+    for i in range(n_warm, n_scans):
+        feed(slam, data[i])
+    _ = slam.kf_count
+    wall = time.perf_counter() - t0
+
+    st, tr, _ = slam.all_poses()
+    ate = ate_rmse(st, tr, seq) if len(st) >= 3 else float("nan")
+    data_s = (n_scans - n_warm) * seq.sweep
+    return {
+        "ratio": round(data_s / wall, 4),
+        "ate_m": round(float(ate), 4),
+        "ate_gate_m": LONG_ATE_GATE_M,
+        "data_seconds": round(data_s, 1),
+        "raw_points_per_scan": 131072,
+        "keyframes_live": int(slam.kf_count),
+        "trajectory_poses": int(len(st)),
+        "max_submap_span": int(slam.max_submap_span),
+        "compile_s": round(compile_s, 1),
+        "gen_s": round(gen_s, 1),
+    }
+
+
 def main():
     from dmsa_lidar_slam_tpu.io.synthetic import ate_rmse, bench_config, bench_sequence
 
@@ -134,7 +184,16 @@ def main():
         ates[seed] = ate_rmse(st2, tr2, q2) if len(st2) >= 3 else float("nan")
 
     worst = max(ates.values())
-    gate_ok = np.isfinite(worst) and worst <= ATE_GATE_M
+    short_ok = np.isfinite(worst) and worst <= ATE_GATE_M
+
+    # --- realistic long run (retirement + revisits + OS-128 raw) --------
+    long_d = run_long()
+    long_ok = (
+        np.isfinite(long_d["ate_m"])
+        and long_d["ate_m"] <= LONG_ATE_GATE_M
+        and long_d["max_submap_span"] >= LONG_MIN_SPAN
+    )
+    gate_ok = short_ok and long_ok
 
     result = {
         "metric": "realtime_ratio",
@@ -155,11 +214,17 @@ def main():
             "compile_s": round(warm, 2),
             "data_gen_s": round(data_gen_s, 2),
             "stage_times": stage_times,
+            "long": long_d,
         },
     }
     print(json.dumps(result))
     if not gate_ok:
-        print(f"bench gate FAILED: worst ATE {worst:.4f} m > {ATE_GATE_M} m", file=sys.stderr)
+        print(
+            f"bench gate FAILED: short worst ATE {worst:.4f} m (gate {ATE_GATE_M}), "
+            f"long ATE {long_d['ate_m']} m (gate {LONG_ATE_GATE_M}), "
+            f"max span {long_d['max_submap_span']} (min {LONG_MIN_SPAN})",
+            file=sys.stderr,
+        )
         sys.exit(1)
 
 

@@ -106,6 +106,13 @@ class SyntheticSequence:
         t_still: float = 0.0,
         noise_std: float = 0.0,
         room_scale: float = 1.0,
+        mode: str = "twist",
+        loop_amp=(6.0, 4.0, 0.3),
+        loop_omega: float = 0.35,
+        imu_noise_acc: float = 0.0,
+        imu_noise_gyr: float = 0.0,
+        imu_bias_acc=(0.0, 0.0, 0.0),
+        imu_bias_gyr=(0.0, 0.0, 0.0),
     ):
         self.rng = rng or np.random.default_rng(0)
         self.v_lin = np.asarray(v_lin, float) * room_scale
@@ -118,6 +125,62 @@ class SyntheticSequence:
         self.t_still = t_still
         self.noise_std = noise_std
         self.planes = room_scene(room_scale)
+        # trajectory mode: "twist" = constant-twist ramp (r1-r3 behavior);
+        # "loop" = closed Lissajous circuit that LEAVES and RE-ENTERS mapped
+        # space (keyframe retirement + deep minRelatedKeyId submap spans,
+        # DmsaSlam.h:212-238) — period 2*pi/loop_omega progress-seconds
+        self.mode = mode
+        self.loop_amp = np.asarray(loop_amp, float) * room_scale
+        self.loop_omega = loop_omega
+        # IMU imperfections (VERDICT r3 #3: the analytic IMU was noise- and
+        # bias-free, so the static-start estimators were only validated in
+        # the regime where they have nothing to do)
+        self.imu_noise_acc = imu_noise_acc
+        self.imu_noise_gyr = imu_noise_gyr
+        self.imu_bias_acc = np.asarray(imu_bias_acc, float)
+        self.imu_bias_gyr = np.asarray(imu_bias_gyr, float)
+
+    # ---- path functions over progress u (ramp-integral seconds) ---------
+    def _P(self, u):
+        u = np.asarray(u, float)
+        if self.mode == "twist":
+            return self.p0 + u[..., None] * self.v_lin
+        a, w = self.loop_amp, self.loop_omega
+        return self.p0 + np.stack(
+            [a[0] * np.sin(w * u), a[1] * np.sin(2 * w * u), a[2] * np.sin(3 * w * u)],
+            axis=-1,
+        )
+
+    def _dP(self, u):
+        u = np.asarray(u, float)
+        if self.mode == "twist":
+            return np.broadcast_to(self.v_lin, u.shape + (3,)).copy()
+        a, w = self.loop_amp, self.loop_omega
+        return np.stack(
+            [
+                a[0] * w * np.cos(w * u),
+                a[1] * 2 * w * np.cos(2 * w * u),
+                a[2] * 3 * w * np.cos(3 * w * u),
+            ],
+            axis=-1,
+        )
+
+    def _ddP(self, u):
+        u = np.asarray(u, float)
+        if self.mode == "twist":
+            return np.zeros(u.shape + (3,))
+        a, w = self.loop_amp, self.loop_omega
+        return np.stack(
+            [
+                -a[0] * w * w * np.sin(w * u),
+                -a[1] * 4 * w * w * np.sin(2 * w * u),
+                -a[2] * 9 * w * w * np.sin(3 * w * u),
+            ],
+            axis=-1,
+        )
+
+    def _yaw(self, u):
+        return self.yaw0 + self.yaw_rate * np.asarray(u, float)
 
     def _ramp_integral(self, rel):
         """Integral of the ramp profile min(max(t - t_still, 0)/t_ramp, 1)
@@ -131,19 +194,26 @@ class SyntheticSequence:
     def _ramp(self, rel: float) -> float:
         return float(np.clip((rel - self.t_still) / self.t_ramp, 0.0, 1.0))
 
+    def _ramp_rate(self, rel):
+        """du/dt and d2u/dt2 of the ramp envelope (arrays ok)."""
+        relm = np.asarray(rel, float) - self.t_still
+        du = np.clip(relm / self.t_ramp, 0.0, 1.0)
+        ddu = np.where((relm >= 0) & (relm < self.t_ramp), 1.0 / self.t_ramp, 0.0)
+        return du, ddu
+
     def pose(self, t: float) -> TruePose:
         rel = t - self.t_start
-        s = self._ramp_integral(rel)
+        u = self._ramp_integral(rel)
         return TruePose(
-            position=self.p0 + self.v_lin * s,
-            rotvec=np.array([0.0, 0.0, self.yaw0 + self.yaw_rate * s]),
+            position=np.asarray(self._P(u)),
+            rotvec=np.array([0.0, 0.0, float(self._yaw(u))]),
         )
 
     def world_accel(self, t: float) -> np.ndarray:
-        rel = t - self.t_start - self.t_still
-        if 0 <= rel < self.t_ramp:
-            return self.v_lin / self.t_ramp
-        return np.zeros(3)
+        rel = t - self.t_start
+        u = self._ramp_integral(rel)
+        du, ddu = self._ramp_rate(rel)
+        return self._ddP(u) * du * du + self._dP(u) * ddu
 
     def scan(self, scan_idx: int, pts_per_scan: int, n_rings: int = 16):
         """One motion-distorted scan: (points [n,3] f32 lidar frame,
@@ -153,8 +223,8 @@ class SyntheticSequence:
         stamps = t0 + np.sort(self.rng.uniform(0, self.sweep, size=pts_per_scan))
         # per-point pose (intra-sweep motion), fully vectorized
         s = self._ramp_integral(stamps - self.t_start)
-        positions = self.p0[None, :] + s[:, None] * self.v_lin[None, :]
-        yaws = self.yaw0 + self.yaw_rate * s
+        positions = self._P(s)
+        yaws = self._yaw(s)
         rotvecs = np.zeros((pts_per_scan, 3))
         rotvecs[:, 2] = yaws
         R = Rotation.from_rotvec(rotvecs).as_matrix()  # [n,3,3]
@@ -167,21 +237,29 @@ class SyntheticSequence:
         return local, stamps, rings
 
     def imu_samples(self, t_from: float, t_to: float, rate: float = 400.0):
-        """IMU (stamps, acc [n,3], gyr [n,3]) consistent with the motion."""
+        """IMU (stamps, acc [n,3], gyr [n,3]) consistent with the motion,
+        plus the configured constant biases and white noise (body frame) —
+        measured = true + bias + noise, the model the reference's
+        static-start estimators exist to absorb (ImuBuffer.h:59-63,
+        ContinuousTrajectory.h:263-299)."""
         ts = np.arange(t_from, t_to, 1.0 / rate)
         rel = ts - self.t_start
-        s_int = self._ramp_integral(rel)
-        yaws = self.yaw0 + self.yaw_rate * s_int
+        u = self._ramp_integral(rel)
+        du, ddu = self._ramp_rate(rel)
+        yaws = self._yaw(u)
         rotvecs = np.zeros((len(ts), 3))
         rotvecs[:, 2] = yaws
         R = Rotation.from_rotvec(rotvecs).as_matrix()
-        rel_m = rel - self.t_still
-        ramp = np.clip(rel_m / self.t_ramp, 0.0, 1.0)
-        in_ramp = (rel_m >= 0) & (rel_m < self.t_ramp)
-        a_w = in_ramp[:, None] * (self.v_lin / self.t_ramp)[None, :]
+        a_w = self._ddP(u) * (du * du)[:, None] + self._dP(u) * ddu[:, None]
         acc = np.einsum("nji,nj->ni", R, a_w - GRAVITY[None, :])
         gyr = np.zeros((len(ts), 3))
-        gyr[:, 2] = self.yaw_rate * ramp
+        gyr[:, 2] = self.yaw_rate * du
+        acc = acc + self.imu_bias_acc[None, :]
+        gyr = gyr + self.imu_bias_gyr[None, :]
+        if self.imu_noise_acc > 0:
+            acc = acc + self.rng.normal(scale=self.imu_noise_acc, size=acc.shape)
+        if self.imu_noise_gyr > 0:
+            gyr = gyr + self.rng.normal(scale=self.imu_noise_gyr, size=gyr.shape)
         return ts, acc, gyr
 
 
@@ -225,13 +303,70 @@ def bench_config(**overrides):
 
 
 def bench_sequence(seed: int, **overrides) -> SyntheticSequence:
-    """The canonical bench sequence: measurement noise 1 cm and a 0.6 s
-    still phase at the start of the DATA (like real handheld rigs) so the
+    """The canonical bench sequence: measurement noise 1 cm, a 0.6 s still
+    phase at the start of the DATA (like real handheld rigs) so the
     static-start init assumption holds — IMU preceding the first scan is
-    dropped (DmsaSlam.h:104-107), so stillness must cover the first scans."""
-    kw = dict(rng=np.random.default_rng(seed), noise_std=0.01, t_still=0.6)
+    dropped (DmsaSlam.h:104-107), so stillness must cover the first scans —
+    and, since r4, IMU white noise + constant biases at realistic MEMS
+    levels (the static-start estimators must EARN the init: gyro bias =
+    mean of first 50 samples, ImuBuffer.h:59-63; gravity tilt absorbs the
+    accel bias)."""
+    kw = dict(
+        rng=np.random.default_rng(seed),
+        noise_std=0.01,
+        t_still=0.6,
+        imu_noise_acc=0.2,
+        imu_noise_gyr=0.005,
+        imu_bias_acc=(0.03, -0.02, 0.03),
+        imu_bias_gyr=(0.003, -0.002, 0.009),
+    )
     kw.update(overrides)
     return SyntheticSequence(**kw)
+
+
+def long_sequence(seed: int, **overrides) -> SyntheticSequence:
+    """The realistic long bench sequence (VERDICT r3 #2): a closed-loop
+    circuit through the room that leaves and re-enters mapped space — so
+    keyframe retirement occurs and minRelatedKeyId reaches back
+    (DmsaSlam.h:212-238) — with the same noisy, biased IMU as
+    bench_sequence.  One loop takes 2*pi/loop_omega ~ 18 progress-seconds;
+    a >= 30 s run revisits the start of the map in its second lap."""
+    kw = dict(
+        rng=np.random.default_rng(seed),
+        mode="loop",
+        p0=(0.0, 0.0, 1.4),
+        # perimeter ~20 m -> ~40 keyframes/lap at dist_new_keyframe 0.5 m:
+        # smaller than the 48-keyframe ring, so the second lap revisits
+        # keyframes STILL IN THE RING (deep minRelatedKeyId spans), while
+        # ~70 total keyframes over 1.7 laps still exercise retirement
+        loop_amp=(3.8, 2.6, 0.25),
+        loop_omega=0.35,
+        yaw_rate=0.5,
+        noise_std=0.01,
+        t_still=0.6,
+        t_ramp=1.5,
+        imu_noise_acc=0.2,
+        imu_noise_gyr=0.005,
+        imu_bias_acc=(0.03, -0.02, 0.03),
+        imu_bias_gyr=(0.003, -0.002, 0.009),
+    )
+    kw.update(overrides)
+    return SyntheticSequence(**kw)
+
+
+def long_config(**overrides):
+    """Config for the realistic long bench: OS-128-scale raw scans
+    (131072 points/rev, newer_college_ouster_128.yaml semantics), a
+    48-keyframe ring (retirement active within the run) and the UNCAPPED
+    reference submap-span semantics (suffix [minRelatedKeyId..end],
+    DmsaSlam.h:212-238) so spans beyond 16 actually occur."""
+    kw = dict(
+        last_n_keyframes_for_optim=48,
+        submap_max_keyframes=None,
+        raw_scan_cap=131072,
+    )
+    kw.update(overrides)
+    return bench_config(**kw)
 
 
 def feed_scan(slam, seq: SyntheticSequence, i: int, t_imu_from: float, pts_per_scan: int = 20000):

@@ -557,6 +557,11 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
                     & (min_related_adj >= 0)
                     & (state.kf.count >= 3)
                 )
+                # submap span actually optimized (same from_id computation
+                # as do_submap), for the event ledger / bench evidence that
+                # deep suffix spans occur (DmsaSlam.h:212-238)
+                span_from = jnp.maximum(jnp.maximum(min_related_adj, 0), state.kf.count - S_sub)
+                submap_span = jnp.where(run_submap, state.kf.count - span_from, 0)
                 state = jax.lax.cond(run_submap, do_submap, lambda s: s, state)
 
                 # re-anchor the current trajectory at the (possibly
@@ -571,6 +576,7 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
                 ev = ev.at[0].set(EV_KEYFRAME)
                 ev = ev.at[1:4].set(data.anchor_orient.astype(jnp.float32))
                 ev = ev.at[4:7].set(data.anchor_transl.astype(jnp.float32))
+                ev = ev.at[7].set(submap_span.astype(jnp.float32))
                 ev = ev.at[8].set(retired.astype(jnp.float32))
                 ev = ev.at[9:12].set(ret_o.astype(jnp.float32))
                 ev = ev.at[12:15].set(ret_t.astype(jnp.float32))
@@ -781,6 +787,7 @@ class FusedDmsaSlam:
         # keyframe stamps live in state.kf.stamps relative to this base
         self._stamp_base: Optional[float] = None
         self._imu_disabled_logged = False
+        self.max_submap_span = 0  # deepest [minRelatedKeyId..end] optimized
 
     # ------------------------------------------------------------------ API
     def process_imu(self, acc, gyr, stamp: float):
@@ -903,6 +910,8 @@ class FusedDmsaSlam:
             t0_w = self._window_t0_history[i]
             etype = int(round(ev[0]))
             if etype in (1, 2):  # init / keyframe
+                if etype == 2:
+                    self.max_submap_span = max(self.max_submap_span, int(round(ev[7])))
                 if ev[8] > 0.5 and etype == 2:  # retirement first
                     # exact device f64 stamp: base + hi + lo
                     ret_stamp = (self._stamp_base or 0.0) + float(ev[21]) + float(ev[23])

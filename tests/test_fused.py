@@ -144,3 +144,36 @@ def test_fused_matches_host_pipeline(tmp_path):
     true_h = seq_b.pose(t0_h).position - seq_b.pose(seq_b.t_start).position
     assert np.linalg.norm(ow_f - true_f) < 0.08, (ow_f, true_f)
     assert np.linalg.norm(ow_h - true_h) < 0.08, (ow_h, true_h)
+
+
+@pytest.mark.slow
+def test_fused_imu_noise_and_bias_absorbed(tmp_path):
+    """Constant gyro/accel biases + white noise at realistic MEMS levels
+    must be absorbed by the static-start estimators (gyro bias = mean of
+    first 50 samples, ImuBuffer.h:59-63; accel bias tilts the gravity
+    init): ATE degrades < 2x vs the clean-IMU run (VERDICT r3 #3)."""
+    cfg = small_config(use_imu=True, imu_factor_weight_submap=0.001)
+    kw = dict(noise_std=0.01, room_scale=0.45, t_still=0.5)
+
+    slam_c = FusedDmsaSlam(cfg, flush_every=8)
+    seq_c = SyntheticSequence(rng=np.random.default_rng(11), **kw)
+    run_sequence(slam_c, seq_c, n_scans=14, pts=900, use_imu=True)
+    st, tr, _ = slam_c.keyframe_poses()
+    ate_clean = ate_rmse(st, tr, seq_c)
+
+    slam_n = FusedDmsaSlam(small_config(use_imu=True, imu_factor_weight_submap=0.001), flush_every=8)
+    seq_n = SyntheticSequence(
+        rng=np.random.default_rng(11),
+        imu_noise_acc=0.2,
+        imu_noise_gyr=0.005,
+        imu_bias_acc=(0.03, -0.02, 0.03),
+        imu_bias_gyr=(0.003, -0.002, 0.009),
+        **kw,
+    )
+    run_sequence(slam_n, seq_n, n_scans=14, pts=900, use_imu=True)
+    st, tr, _ = slam_n.keyframe_poses()
+    ate_noisy = ate_rmse(st, tr, seq_n)
+
+    assert ate_noisy < max(2.0 * ate_clean, 0.06), (
+        f"noisy-IMU ATE {ate_noisy:.4f} vs clean {ate_clean:.4f}"
+    )
