@@ -454,7 +454,7 @@ def gn_system(tab, dtabs, packed):
     """
     p_dim, dtab, _ = dtabs.shape
     m = packed.shape[1]
-    t_tile = 512 if m % 512 == 0 else 256
+    t_tile = 512 if (m % 512 == 0 and p_dim <= 128) else 256
     tabp = prep_tables(tab[None])  # [8, Dpad]
     jtab = prep_jac_tables(dtabs)  # [7P, Dpad]
     with jax.enable_x64(False):
