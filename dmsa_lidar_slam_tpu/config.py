@@ -87,6 +87,10 @@ class Config:
     # single-chip optimizer — BASELINE config 5's multi-device shape
     distributed_keyframe_opt: bool = False
     dist_table_size: int = 65536  # hash-cell table per grid resolution
+    # "spatial": shuffle points to voxel-owner devices, exact local cells,
+    # ~1 MB collectives/iteration (parallel.spatial — SCALING.md backend B);
+    # "hash": r3 point-sharded hash cells with psum'd table reductions
+    dist_backend: str = "spatial"
     # (owner election drops ~occupied_voxels/2T of cells; size ~10x voxels)
 
     # --- TPU-build specific shape caps (padding discipline) ---

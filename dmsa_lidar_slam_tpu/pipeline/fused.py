@@ -240,15 +240,11 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
         else None
     )
     dist_submap_opt = None
+    dist_is_spatial = c.dist_backend == "spatial"
     if mesh is not None and mesh.devices.size > 1:
-        from dmsa_lidar_slam_tpu.parallel import keyframe_dist
-
-        dist_submap_opt = keyframe_dist.make_keyframe_dist_optimize(
-            mesh,
-            sub_mshapes,
+        common = dict(
             num_iter=c.num_iter_keyframe_optim,
             min_points=c.min_num_points_gauss_key,
-            table_size=c.dist_table_size,
             step_length=c.alpha_keyframe_optim,
             max_step=0.01,
             epsilon=c.epsilon_keyframe_opt,
@@ -256,6 +252,18 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
             use_odometry=c.use_odometry_term_in_keyframe_opt,
             jit=False,  # composes inside the fused step's jit
         )
+        if dist_is_spatial:
+            from dmsa_lidar_slam_tpu.parallel import spatial
+
+            dist_submap_opt = spatial.make_spatial_dist_optimize(
+                mesh, sub_mshapes, **common
+            )
+        else:
+            from dmsa_lidar_slam_tpu.parallel import keyframe_dist
+
+            dist_submap_opt = keyframe_dist.make_keyframe_dist_optimize(
+                mesh, sub_mshapes, table_size=c.dist_table_size, **common
+            )
 
     def preint_all(gyr_dense, acc_dense, dt, use_imu):
         pr_rot, pr_vel, pr_pos, cov_inv, pr_full = ct.compute_preint_factors(
@@ -549,6 +557,8 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
                             ]
                         )
                         params_new, _, _, _ = dist_submap_opt(sparams, fp, fm, fr, aux, grids)
+                        # (spatial backend: slot 3 is the counted shuffle
+                        # overflow; hash backend: the valid-cell count)
                     kf2 = dmap.write_back_capped(state.kf, from_id, params_new)
                     return state._replace(kf=kf2)
 

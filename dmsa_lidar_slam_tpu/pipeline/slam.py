@@ -570,12 +570,9 @@ class DmsaSlam:
             self._dist_kf_mesh = pmesh.make_mesh("data", devices=devs[:n_use])
             if n_use < len(devs):
                 log.warning("distributed keyframe opt uses %d/%d devices", n_use, len(devs))
-        opt_fn = keyframe_dist.make_keyframe_dist_optimize(
-            self._dist_kf_mesh,
-            self.map_shapes,
+        common = dict(
             num_iter=c.num_iter_keyframe_optim,
             min_points=c.min_num_points_gauss_key,
-            table_size=c.dist_table_size,
             step_length=c.alpha_keyframe_optim,
             max_step=0.01,
             epsilon=c.epsilon_keyframe_opt,
@@ -590,7 +587,28 @@ class DmsaSlam:
             ],
             dtype=params0.dtype,
         )
-        params, iters, err, ncells = opt_fn(params0, flat_pts, flat_mask, flat_rings, aux, grids)
+        if c.dist_backend == "spatial":
+            from dmsa_lidar_slam_tpu.parallel import spatial
+
+            opt_fn = spatial.make_spatial_dist_optimize(
+                self._dist_kf_mesh, self.map_shapes, **common
+            )
+            params, err, ncells, overflow = opt_fn(
+                params0, flat_pts, flat_mask, flat_rings, aux, grids
+            )
+            iters = jnp.asarray(c.num_iter_keyframe_optim)
+            if int(overflow):
+                log.warning("spatial shuffle overflow: %d points dropped", int(overflow))
+        else:
+            opt_fn = keyframe_dist.make_keyframe_dist_optimize(
+                self._dist_kf_mesh,
+                self.map_shapes,
+                table_size=c.dist_table_size,
+                **common,
+            )
+            params, iters, err, ncells = opt_fn(
+                params0, flat_pts, flat_mask, flat_rings, aux, grids
+            )
         log.info(
             "distributed keyframe optim from %d: iters=%d err=%.3f cells=%d devices=%d",
             from_id,
