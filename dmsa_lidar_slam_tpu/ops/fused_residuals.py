@@ -315,7 +315,7 @@ def cand_errors(tabs, packed):
     """
     k, dtab, _ = tabs.shape
     m = packed.shape[1]
-    t_tile = 512 if m % 512 == 0 else 256
+    t_tile = 1024 if m % 1024 == 0 else (512 if m % 512 == 0 else 256)
     tab = prep_tables(tabs)
     with jax.enable_x64(False):
         out = _cand_call(m, k, tab.shape[1], t_tile)(tab, packed)
@@ -454,7 +454,10 @@ def gn_system(tab, dtabs, packed):
     """
     p_dim, dtab, _ = dtabs.shape
     m = packed.shape[1]
-    t_tile = 512 if (m % 512 == 0 and p_dim <= 128) else 256
+    if p_dim <= 128:
+        t_tile = 1024 if m % 1024 == 0 else (512 if m % 512 == 0 else 256)
+    else:
+        t_tile = 256
     tabp = prep_tables(tab[None])  # [8, Dpad]
     jtab = prep_jac_tables(dtabs)  # [7P, Dpad]
     with jax.enable_x64(False):
@@ -903,7 +906,7 @@ def build_packed(points_w, mask, ring_ids, xs, tidx, grid_size, min_points, obs_
         axis=0,
     )
     num_raw = jnp.sum(newc & (w_s > 0.5))
-    t_tile = 512 if n % 512 == 0 else 256
+    t_tile = 1024 if n % 1024 == 0 else (512 if n % 512 == 0 else 256)
     with jax.enable_x64(False):
         packed, stats = _build_call(n, t_tile, int(min_points), float(COV_EIG_FLOOR))(kin)
     return packed, stats[0, 0].astype(jnp.int32), num_raw
