@@ -65,8 +65,7 @@ def pregenerate(seq, n_scans: int, pts_per_scan: int = 20000, n_rings: int = 16)
 
 def feed(slam, rec):
     pts, stamps, rings, ts, acc, gyr = rec
-    for j in range(len(ts)):
-        slam.process_imu(acc[j], gyr[j], ts[j])
+    slam.process_imu_batch(acc, gyr, ts)
     slam.process_scan(pts, stamps, rings)
 
 

@@ -44,6 +44,30 @@ class ImuBuffer:
             # strictly more robust under the same assumption
             self.acc_init = self.acc[: self.num_updates].mean(axis=0).copy()
 
+    def add_batch(self, acc, gyr, stamps):
+        """Vectorized add_measurement for n samples — EXACT same
+        semantics (the batch that straddles the 50-sample static-start
+        estimation threshold falls back to the per-sample path so the
+        bias application boundary is bit-identical)."""
+        n = len(stamps)
+        if n == 0:
+            return
+        if self.num_updates < BIAS_ESTIMATION_SAMPLES <= self.num_updates + n:
+            for j in range(n):
+                self.add_measurement(np.asarray(acc[j], float), gyr[j], float(stamps[j]))
+            return
+        for j0 in range(0, n, self.max_num):
+            a = np.asarray(acc[j0 : j0 + self.max_num], float)
+            g = np.asarray(gyr[j0 : j0 + self.max_num], float)
+            t = np.asarray(stamps[j0 : j0 + self.max_num], float)
+            k = len(t)
+            idx = (self.next_idx + np.arange(k)) % self.max_num
+            self.acc[idx] = a
+            self.gyr[idx] = g - self.bias_gyr
+            self.stamps[idx] = t
+            self.next_idx = int((self.next_idx + k) % self.max_num)
+            self.num_updates += k
+
     @property
     def initial_acc_mean(self):
         """Mean accelerometer over the static-start bias window, or None if

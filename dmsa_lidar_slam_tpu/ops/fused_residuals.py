@@ -118,10 +118,15 @@ def pack_rows(cells, xs_sorted, tidx_sorted):
 
 
 def prep_tables(tabs):
-    """[K, Dtab, 8] candidate tables -> [K*8, Dpad] kernel operand."""
+    """[K, Dtab, 8] candidate tables -> [K*8, Dpad] kernel operand.
+
+    COLUMN-major row order (row c*K + k = column c of candidate k): after
+    the one-hot gather the kernel slices contiguous [K, T] blocks per
+    quantity and runs the whole candidate batch in each VPU op — [1, T]
+    per-candidate rows would use 1 of 8 sublanes."""
     k, dtab, _ = tabs.shape
     dpad = _round_up(dtab, 128)
-    t = tabs.astype(jnp.float32).transpose(0, 2, 1).reshape(k * 8, dtab)
+    t = tabs.astype(jnp.float32).transpose(2, 0, 1).reshape(8 * k, dtab)
     return jnp.pad(t, ((0, 0), (0, dpad - dtab)))
 
 
@@ -240,20 +245,19 @@ def _cand_kernel(k_cand, dpad, t_tile, interp, tab_ref, pk_ref, out_ref, carry_r
     oh = (rowi == tidx.astype(jnp.int32)).astype(jnp.float32)  # [Dpad, T]
     tg = jax.lax.dot_general(
         tab_ref[:], oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [8K, T]
+    )  # [8K, T], row c*K + k (prep_tables column-major order)
 
-    rows = []
-    for k in range(k_cand):
-        qw, qx, qy, qz = (tg[8 * k + c : 8 * k + c + 1] for c in range(4))
-        tx3, ty3, tz3 = (tg[8 * k + 4 + c : 8 * k + 5 + c] for c in range(3))
-        px, py, pz = _qrot(qw, qx, qy, qz, xs[0:1], xs[1:2], xs[2:3])
-        d0x = (px + tx3 - mu0[0:1]) * w
-        d0y = (py + ty3 - mu0[1:2]) * w
-        d0z = (pz + tz3 - mu0[2:3]) * w
-        lx, ly, lz = _sym6_mv(lam, d0x, d0y, d0z)
-        quad = lx * d0x + ly * d0y + lz * d0z
-        rows += [d0x, d0y, d0z, quad]
-    v = jnp.concatenate(rows, axis=0)  # [4K, T]
+    k = k_cand
+    # whole-candidate-batch math on [K, T] blocks (full sublane utilization)
+    qw, qx, qy, qz = tg[0:k], tg[k : 2 * k], tg[2 * k : 3 * k], tg[3 * k : 4 * k]
+    tx3, ty3, tz3 = tg[4 * k : 5 * k], tg[5 * k : 6 * k], tg[6 * k : 7 * k]
+    px, py, pz = _qrot(qw, qx, qy, qz, xs[0:1], xs[1:2], xs[2:3])
+    d0x = (px + tx3 - mu0[0:1]) * w
+    d0y = (py + ty3 - mu0[1:2]) * w
+    d0z = (pz + tz3 - mu0[2:3]) * w
+    lx, ly, lz = _sym6_mv(lam, d0x, d0y, d0z)
+    quad = lx * d0x + ly * d0y + lz * d0z
+    v = jnp.concatenate([d0x, d0y, d0z, quad], axis=0)  # [4K, T], K-blocks
 
     prefix, covered = _seg_scan(v, newc, interp)
     # rows before the tile's first run start continue the previous tile's
@@ -261,17 +265,12 @@ def _cand_kernel(k_cand, dpad, t_tile, interp, tab_ref, pk_ref, out_ref, carry_r
     prefix = prefix + jnp.where(covered > 0.0, 0.0, carry_ref[:, 0:1])
     carry_ref[:, 0:1] = prefix[:, t_tile - 1 : t_tile]
 
-    contribs = []
-    for k in range(k_cand):
-        sx = prefix[4 * k : 4 * k + 1]
-        sy = prefix[4 * k + 1 : 4 * k + 2]
-        sz = prefix[4 * k + 2 : 4 * k + 3]
-        q1 = prefix[4 * k + 3 : 4 * k + 4]
-        cx, cy, cz = _sym6_mv(lam, sx, sy, sz)
-        corr = invn_end * (cx * sx + cy * sy + cz * sz)
-        val = q1 - corr
-        contribs.append(jnp.where(invn_end > 0.0, jnp.abs(val), 0.0))
-    cmat = jnp.concatenate(contribs, axis=0)  # [K, T]
+    sx, sy, sz = prefix[0:k], prefix[k : 2 * k], prefix[2 * k : 3 * k]
+    q1 = prefix[3 * k : 4 * k]
+    cx, cy, cz = _sym6_mv(lam, sx, sy, sz)
+    corr = invn_end * (cx * sx + cy * sy + cz * sz)
+    val = q1 - corr
+    cmat = jnp.where(invn_end > 0.0, jnp.abs(val), 0.0)  # [K, T]
     out_ref[:, 0:1] += jnp.sum(cmat, axis=1, keepdims=True)
 
 
@@ -370,19 +369,21 @@ def _gn_kernel(p_dim, dpad, t_tile, jr, interp, tab_ref, jtab_ref, pk_ref, out_r
             acc = acc + cot[c] * mj[c * p_dim : (c + 1) * p_dim]
         return acc
 
-    # u_j rows: cotangent (vjp_q(wL d0), wL d0)
+    # u_j rows: cotangent (vjp_q(wL d0), wL d0).
+    #
+    # The full row identity is J_r = scale * (u_r - (wL s_bar)^T B_r) with
+    # B_r = sum_j dp_j/dtheta — but gn_system is ONLY evaluated at the
+    # params the cells were just built from, so the current run mean equals
+    # mu0 up to f32 re-evaluation noise and s_bar = mean(d0) ~ 1e-7.  The
+    # correction term is O(|wL| * s_bar) ~ 1e-6 of the row magnitude, so
+    # the B machinery (3P scan channels + 3 extra cotangent contractions,
+    # 4x the kernel's VPU work at P=282) is dropped here; the XLA
+    # reference implementation keeps it, and the kernel-vs-reference test
+    # bounds the difference.
     aw, ax, ay, az = _vjpq(qw, qx, qy, qz, xs[0:1], xs[1:2], xs[2:3], lx, ly, lz)
     u = contract7((aw, ax, ay, az, lx, ly, lz))  # [P, T]
-    # B rows: cotangents = the 3 basis vectors (masked by w)
-    zero = jnp.zeros_like(w)
-    b_rows = []
-    for m_axis in range(3):
-        g = [zero, zero, zero]
-        g[m_axis] = w
-        bw, bx, by, bz = _vjpq(qw, qx, qy, qz, xs[0:1], xs[1:2], xs[2:3], *g)
-        b_rows.append(contract7((bw, bx, by, bz, *g)))  # [P, T]
 
-    v = jnp.concatenate([d0x, d0y, d0z, quad, u] + b_rows, axis=0)  # [4+4P, T]
+    v = jnp.concatenate([d0x, d0y, d0z, quad, u], axis=0)  # [4+P, T]
     prefix, covered = _seg_scan(v, newc, interp)
     prefix = prefix + jnp.where(covered > 0.0, 0.0, carry_ref[:, 0:1])
     carry_ref[:, 0:1] = prefix[:, t_tile - 1 : t_tile]
@@ -390,18 +391,13 @@ def _gn_kernel(p_dim, dpad, t_tile, jr, interp, tab_ref, jtab_ref, pk_ref, out_r
     sx, sy, sz = prefix[0:1], prefix[1:2], prefix[2:3]
     q1 = prefix[3:4]
     ur = prefix[4 : 4 + p_dim]
-    b0 = prefix[4 + p_dim : 4 + 2 * p_dim]
-    b1 = prefix[4 + 2 * p_dim : 4 + 3 * p_dim]
-    b2 = prefix[4 + 3 * p_dim : 4 + 4 * p_dim]
 
     cx, cy, cz = _sym6_mv(lam, sx, sy, sz)
     val = q1 - invn_end * (cx * sx + cy * sy + cz * sz)
     mask = invn_end > 0.0
     r = jnp.sqrt(jnp.abs(val) + 1e-30)
     scale = jnp.where(mask, jnp.sign(val) / r, 0.0)
-    # wL s_bar (s_bar = mean = svec / n)
-    wsx, wsy, wsz = (c * invn_end for c in (cx, cy, cz))
-    j_rows = scale * (ur - (wsx * b0 + wsy * b1 + wsz * b2))  # [P, T]
+    j_rows = scale * ur  # [P, T]
     e_row = jnp.where(mask, r, 0.0)  # [1, T]
     pad = jnp.zeros((jr - p_dim - 1, t_tile), jnp.float32)
     jext = jnp.concatenate([j_rows, e_row, pad], axis=0)  # [JR, T]
@@ -430,7 +426,7 @@ def _gn_call(m, p_dim, dpad, t_tile):
             ],
             out_specs=pl.BlockSpec((jr, jr), lambda i: (0, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((jr, jr), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((4 + 4 * p_dim, 128), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((4 + p_dim, 128), jnp.float32)],
             interpret=_interpret(),
             cost_estimate=pl.CostEstimate(
                 flops=2 * (8 + 7 * p_dim) * dpad * m + 2 * jr * jr * m + 80 * p_dim * m,
@@ -454,10 +450,7 @@ def gn_system(tab, dtabs, packed):
     """
     p_dim, dtab, _ = dtabs.shape
     m = packed.shape[1]
-    if p_dim <= 128:
-        t_tile = 1024 if m % 1024 == 0 else (512 if m % 512 == 0 else 256)
-    else:
-        t_tile = 256
+    t_tile = 1024 if m % 1024 == 0 else (512 if m % 512 == 0 else 256)
     tabp = prep_tables(tab[None])  # [8, Dpad]
     jtab = prep_jac_tables(dtabs)  # [7P, Dpad]
     with jax.enable_x64(False):
@@ -505,8 +498,13 @@ def cand_errors_ref(tabs, packed):
     return jax.vmap(one)(tabs)
 
 
-def gn_system_ref(tab, dtabs, packed):
-    """Reference (pure XLA) implementation of gn_system."""
+def gn_system_ref(tab, dtabs, packed, include_mean_term=True):
+    """Reference (pure XLA) implementation of gn_system.
+
+    include_mean_term: keep the (wL s_bar)^T B_r row correction.  At the
+    linearization point s_bar is only the f32 error of the stored cell
+    mean (exactly zero in exact arithmetic), so the Pallas kernel omits it
+    (see _gn_kernel); pass False to mirror the kernel bit-for-bit."""
     m = packed.shape[1]
     p_dim = dtabs.shape[0]
     xs = packed[0:3].T
@@ -550,9 +548,12 @@ def gn_system_ref(tab, dtabs, packed):
     mask = invn_end > 0.0
     r = jnp.sqrt(jnp.abs(val) + 1e-30)
     scale = jnp.where(mask, jnp.sign(val) / r, 0.0)
-    j_rows = scale[:, None] * (
-        ur - (wls[:, 0:1] * br[0] + wls[:, 1:2] * br[1] + wls[:, 2:3] * br[2])
-    )
+    if include_mean_term:
+        j_rows = scale[:, None] * (
+            ur - (wls[:, 0:1] * br[0] + wls[:, 1:2] * br[1] + wls[:, 2:3] * br[2])
+        )
+    else:
+        j_rows = scale[:, None] * ur
     e_row = jnp.where(mask, r, 0.0)
     jext = jnp.concatenate([j_rows, e_row[:, None]], axis=1)  # [M, P+1]
     return jext.T @ jext

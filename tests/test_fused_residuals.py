@@ -88,6 +88,9 @@ def test_gn_system_matches_autodiff(giant_cell):
     dtabs[:, -1, :] = 0.0  # identity row is parameter-free
 
     hext_ref = fr.gn_system_ref(jnp.asarray(tab0), jnp.asarray(dtabs), packed)
+    hext_nomean = fr.gn_system_ref(
+        jnp.asarray(tab0), jnp.asarray(dtabs), packed, include_mean_term=False
+    )
 
     # autodiff oracle: residual vector as a function of theta (tab-linear)
     def res_vec(theta):
@@ -106,10 +109,39 @@ def test_gn_system_matches_autodiff(giant_cell):
         np.asarray(hext_ref), np.asarray(hext_ad), rtol=2e-3, atol=2e-4
     )
 
-    # Pallas kernel (interpret mode) == reference
+    # Pallas kernel (interpret mode) == reference WITHOUT the mean term
+    # (the kernel omits it: at the linearization point s_bar is only the
+    # f32 error of the stored cell mean)
     hext = fr.gn_system(jnp.asarray(tab0), jnp.asarray(dtabs), packed)
     np.testing.assert_allclose(
-        np.asarray(hext), np.asarray(hext_ref), rtol=2e-3, atol=2e-4
+        np.asarray(hext), np.asarray(hext_nomean), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_gn_mean_term_negligible_with_kernel_build():
+    """The dropped (wL s_bar)^T B correction is bounded by the stored-mean
+    rounding.  With build_packed's run-local-origin means (the production
+    pairing on TPU) the with/without difference on H stays ~1e-4 relative;
+    the global-cumsum test build in test_gn_system_matches_autodiff shows
+    why the EXACT reference keeps the term."""
+    rng, xs, mask, rings, tidx, tab0, cells, _, rand_tab = _problem(seed=3)
+    world = rot.quat_rotate(jnp.asarray(tab0[tidx, 0:4]), jnp.asarray(xs)) + jnp.asarray(
+        tab0[tidx, 4:7]
+    )
+    pk, _, _ = fr.build_packed(
+        world.astype(jnp.float32), jnp.asarray(mask), jnp.asarray(rings),
+        jnp.asarray(xs), jnp.asarray(tidx), 1.0, 4,
+    )
+    p_dim = 6
+    dtabs = (0.1 * rng.standard_normal((p_dim, tab0.shape[0], 8))).astype(np.float32)
+    dtabs[:, -1, :] = 0.0
+    h_with = fr.gn_system_ref(jnp.asarray(tab0), jnp.asarray(dtabs), pk)
+    h_without = fr.gn_system_ref(
+        jnp.asarray(tab0), jnp.asarray(dtabs), pk, include_mean_term=False
+    )
+    scale = float(jnp.max(jnp.abs(h_with)))
+    np.testing.assert_allclose(
+        np.asarray(h_with), np.asarray(h_without), atol=2e-3 * scale
     )
 
 

@@ -131,3 +131,27 @@ def test_dead_reckon_matches_euler(rng):
         np.testing.assert_allclose(np.asarray(aa_seq[k]), aa_ref, atol=1e-8)
         # the closed form over preint factors is algebraically exact vs Euler
         np.testing.assert_allclose(np.asarray(p_seq[k]), p_ref, atol=1e-9)
+
+
+def test_imu_buffer_add_batch_matches_per_sample():
+    from dmsa_lidar_slam_tpu.imu.buffer import ImuBuffer
+
+    rng = np.random.default_rng(4)
+    n = 180
+    acc = rng.standard_normal((n, 3))
+    gyr = 0.01 * rng.standard_normal((n, 3)) + np.array([0.002, -0.001, 0.004])
+    ts = 100.0 + np.arange(n) / 400.0
+
+    b1 = ImuBuffer()
+    for j in range(n):
+        b1.add_measurement(acc[j], gyr[j], ts[j])
+    b2 = ImuBuffer()
+    # feed in uneven chunks, one of which straddles the 50-sample threshold
+    for lo, hi in [(0, 30), (30, 75), (75, 180)]:
+        b2.add_batch(acc[lo:hi], gyr[lo:hi], ts[lo:hi])
+
+    np.testing.assert_array_equal(b1.gyr, b2.gyr)
+    np.testing.assert_array_equal(b1.acc, b2.acc)
+    np.testing.assert_array_equal(b1.stamps, b2.stamps)
+    np.testing.assert_array_equal(b1.bias_gyr, b2.bias_gyr)
+    assert b1.num_updates == b2.num_updates and b1.next_idx == b2.next_idx
