@@ -69,7 +69,13 @@ def normal_split_ids(normals_w):
     get split because their members land in different buckets.
     """
     ax = jnp.argmax(jnp.abs(normals_w), axis=-1)  # [..., ]
-    comp = jnp.take_along_axis(normals_w, ax[..., None], axis=-1)[..., 0]
+    # branch-free component pick: take_along_axis is a gather, and this
+    # runs on every submap GN iteration over [S*P, 3] normals
+    comp = jnp.where(
+        ax == 0,
+        normals_w[..., 0],
+        jnp.where(ax == 1, normals_w[..., 1], normals_w[..., 2]),
+    )
     return (ax * 2 + (comp > 0.0)).astype(jnp.int32)
 
 
