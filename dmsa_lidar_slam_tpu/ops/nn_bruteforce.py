@@ -29,8 +29,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_TQ = 512  # query tile (lanes of the [TN, TQ] distance tile)
-_TN = 1024  # reference tile (sublanes)
+_TQ = 1024  # query tile (lanes of the [TN, TQ] distance tile)
+_TN = 2048  # reference tile (sublanes); [TN, TQ] f32 distance tile = 8 MB VMEM
 _PENALTY = jnp.float32(1e30)
 
 
