@@ -35,19 +35,15 @@ Interface mirrors parallel.keyframe_dist.make_keyframe_dist_optimize so
 the pipeline can select either backend.
 """
 
-from functools import lru_cache, partial
-from typing import NamedTuple
-
-import numpy as np
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
+from dmsa_lidar_slam_tpu.core import rotations as rot
 from dmsa_lidar_slam_tpu.map import keyframes as kfm
 from dmsa_lidar_slam_tpu.ops import fused_residuals as fr
-from dmsa_lidar_slam_tpu.parallel.keyframe_dist import KfAux, aux_from_data
-from dmsa_lidar_slam_tpu.core import rotations as rot
 
 
 def owner_of_voxels(points, mask, grid_size, n_devices):

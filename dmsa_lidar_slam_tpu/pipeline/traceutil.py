@@ -20,7 +20,7 @@ import os
 import re
 import tempfile
 from contextlib import contextmanager
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 
 @contextmanager
