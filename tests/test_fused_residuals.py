@@ -266,3 +266,79 @@ def test_build_packed_matches_ref(giant_cell, with_obs):
     e_k = fr.cand_errors_ref(tabs, jnp.asarray(pk))
     e_r = fr.cand_errors_ref(tabs, jnp.asarray(pk_ref))
     np.testing.assert_allclose(np.asarray(e_k), np.asarray(e_r), rtol=0.02)
+
+
+def _tab_problem_small():
+    """Tiny keyframe tabular problem for stop-criteria probes."""
+    from dmsa_lidar_slam_tpu.map import keyframes as kfm
+    from tests.synthetic import sample_scene_points
+
+    rng = np.random.default_rng(21)
+    s, ppk = 3, 256
+    pts = sample_scene_points(rng, ppk).astype(np.float32)
+    pdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    shapes = kfm.MapShapes(n_keyframes=s, n_pts_per_kf=ppk)
+    data = kfm.KeyframeMapData(
+        local_pts=jnp.asarray(np.stack([pts] * s)),
+        local_normals=jnp.zeros((s, ppk, 3), jnp.float32),
+        pt_mask=jnp.ones((s, ppk), bool),
+        pt_ring=jnp.asarray(rng.integers(0, 8, size=(s, ppk)).astype(np.int32)),
+        grid_size=jnp.full((s,), 0.25, jnp.float32),
+        kf_mask=jnp.ones((s,), bool),
+        anchor_orient=jnp.zeros(3, pdt),
+        anchor_transl=jnp.zeros(3, pdt),
+        stamps=jnp.arange(s, dtype=jnp.float64),
+        grav_meas=jnp.zeros((s, 3), pdt),
+        grav_plausible=jnp.zeros((s,), bool),
+        odom_rel_transl=jnp.zeros((s, 3), pdt),
+        odom_rel_orient=jnp.zeros((s, 3), pdt),
+        gravity=jnp.asarray([0.0, 0.0, -9.805], pdt),
+        cov_grav_inv=jnp.eye(3, dtype=pdt),
+        odom_transl_cov_inv=jnp.eye(3, dtype=pdt),
+        odom_orient_cov_inv=jnp.eye(3, dtype=pdt),
+        balancing_grav=jnp.asarray(0.0, pdt),
+        balancing_odom=jnp.asarray(0.0, pdt),
+    )
+    params0 = jnp.full((6 * (s - 1),), 0.01, pdt)
+    return shapes, data, params0
+
+
+def test_tabular_stop_criteria_probes():
+    """The kernel-path optimizer honors the reference's abort semantics
+    (DmsaOptimizer.h:89-143): too-few gaussians and NaN inputs leave the
+    params unchanged with the matching stop reason (verify-skill probes,
+    now on the tabular path)."""
+    from dmsa_lidar_slam_tpu.dmsa import optimizer as opt
+    from dmsa_lidar_slam_tpu.map import keyframes as kfm
+
+    shapes, data, params0 = _tab_problem_small()
+    fwd = kfm.make_forward(shapes, False, False, False)
+    tabular = kfm.make_tabular(shapes, False, False)
+
+    # all points masked -> no cells -> STOP_TOO_FEW_GAUSSIANS, params kept
+    data_masked = data._replace(pt_mask=jnp.zeros_like(data.pt_mask))
+    settings = opt.OptimSettings(num_iter=4, min_num_points_per_set=4, min_num_gaussians=5)
+    r = opt.optimize(fwd, params0, data_masked, settings, 0.25, tabular_fn=tabular)
+    assert int(r.stop_reason) == opt.STOP_TOO_FEW_GAUSSIANS
+    np.testing.assert_array_equal(np.asarray(r.params), np.asarray(params0))
+
+    # single ring id everywhere -> ring-diversity rejection -> same stop
+    data_ring = data._replace(pt_ring=jnp.zeros_like(data.pt_ring))
+    r = opt.optimize(fwd, params0, data_ring, settings, 0.25, tabular_fn=tabular)
+    assert int(r.stop_reason) == opt.STOP_TOO_FEW_GAUSSIANS
+    np.testing.assert_array_equal(np.asarray(r.params), np.asarray(params0))
+
+    # NaN coordinates in VALID slots must not move the params
+    bad = data.local_pts.at[0, :8].set(jnp.nan)
+    data_nan = data._replace(local_pts=bad)
+    r = opt.optimize(fwd, params0, data_nan, settings, 0.25, tabular_fn=tabular)
+    assert int(r.stop_reason) in (opt.STOP_NAN, opt.STOP_NO_IMPROVEMENT, opt.STOP_TOO_FEW_GAUSSIANS)
+    np.testing.assert_array_equal(np.asarray(r.params), np.asarray(params0))
+
+    # num_iter=0 is a no-op
+    r = opt.optimize(
+        fwd, params0, data, opt.OptimSettings(num_iter=0, min_num_points_per_set=4), 0.25,
+        tabular_fn=tabular,
+    )
+    assert int(r.num_iters) == 0
+    np.testing.assert_array_equal(np.asarray(r.params), np.asarray(params0))
