@@ -117,7 +117,6 @@ def _cached_spatial_optimize(
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
     n_total = n_keyframes * n_pts_per_kf
-    n_loc = n_total // n_dev
     tabular = kfm.make_tabular(
         kfm.MapShapes(n_keyframes, n_pts_per_kf), use_gravity, use_odometry
     )
@@ -133,7 +132,10 @@ def _cached_spatial_optimize(
 
         def iteration(carry, _):
             params, done, best_err, n_cells_last = carry
-            tab, extra0 = tables_of(params, aux)
+            # one linearize: its primal supplies the transform table AND
+            # the extra residuals; its tangents the table Jacobian
+            tab_fn = lambda p: tables_of(p, aux)
+            (tab, extra_c), lin = jax.linearize(tab_fn, params)
             # transform resident points (local): world = T[tidx](x)
             q = tab[:, 0:4][flat_tidx]
             t3 = tab[:, 4:7][flat_tidx]
@@ -171,12 +173,10 @@ def _cached_spatial_optimize(
             )
 
             # normal equations: local Hext over owned cells, one tiny psum
-            tab_fn = lambda p: tables_of(p, aux)
-            (tab_c, extra_c), lin = jax.linearize(tab_fn, params)
             eye = jnp.eye(num_params, dtype=pdt)
             dtab, j_extra = jax.vmap(lin)(eye)
             gn = fr.gn_system if fr._use_pallas() else fr.gn_system_ref
-            hext = jax.lax.psum(gn(tab_c, dtab, packed), axis)
+            hext = jax.lax.psum(gn(tab, dtab, packed), axis)
             H = hext[:num_params, :num_params].astype(pdt)
             gvec = hext[:num_params, num_params].astype(pdt)
             je = j_extra.astype(pdt)
