@@ -108,6 +108,7 @@ def _cached_spatial_optimize(
     epsilon,
     use_gravity,
     use_odometry,
+    use_split,
     grid_factors,
     jit,
 ):
@@ -125,7 +126,7 @@ def _cached_spatial_optimize(
     def tables_of(params, aux):
         return tabular.tables(params, aux)
 
-    def body(params, flat_pts, flat_mask, flat_rings, flat_tidx, aux, grid_sizes):
+    def body(params, flat_pts, flat_mask, flat_rings, flat_tidx, flat_nrm, aux, grid_sizes):
         """shard_map body: flat_* are the LOCAL shards [n_loc, ...]."""
         num_params = params.shape[0]
         pdt = params.dtype
@@ -141,7 +142,17 @@ def _cached_spatial_optimize(
             t3 = tab[:, 4:7][flat_tidx]
             world = rot.quat_rotate(q, flat_pts) + t3
 
-            # per-resolution: shuffle to owners, exact local build
+            # per-resolution: shuffle to owners, exact local build.  The
+            # normal-split channel (single-chip submap parity,
+            # Gaussians.h:27-85 analogue) is computed from the CURRENT
+            # world normals before the shuffle and rides as one column —
+            # splits subdivide cells within a voxel, so voxel ownership is
+            # unaffected.
+            if use_split:
+                nrm_w = rot.quat_rotate(q, flat_nrm)
+                split_col = [kfm.normal_split_ids(nrm_w).astype(jnp.float32)[:, None]]
+            else:
+                split_col = []
             packs, nvs, ovs = [], [], []
             payload = jnp.concatenate(
                 [
@@ -149,7 +160,8 @@ def _cached_spatial_optimize(
                     flat_pts,
                     flat_tidx.astype(jnp.float32)[:, None],
                     flat_rings.astype(jnp.float32)[:, None],
-                ],
+                ]
+                + split_col,
                 axis=1,
             )
             for gi in range(len(grid_factors)):
@@ -160,9 +172,11 @@ def _cached_spatial_optimize(
                 r_xs = recv[:, 3:6]
                 r_tidx = recv[:, 6].astype(jnp.int32)
                 r_rings = recv[:, 7].astype(jnp.int32)
+                r_split = recv[:, 8].astype(jnp.int32) if use_split else None
                 build = fr.build_packed if fr._use_pallas() else fr.build_packed_ref
                 pk, nv, _ = build(
-                    r_world, rmask, r_rings, r_xs, r_tidx, grid, min_points
+                    r_world, rmask, r_rings, r_xs, r_tidx, grid, min_points,
+                    split_ids=r_split,
                 )
                 packs.append(pk)
                 nvs.append(nv)
@@ -228,7 +242,7 @@ def _cached_spatial_optimize(
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), spec_pts, spec_pts, spec_pts, spec_pts, P(), P()),
+        in_specs=(P(), spec_pts, spec_pts, spec_pts, spec_pts, spec_pts, P(), P()),
         out_specs=(P(), P(), P(), P()),
     )
     if jit:
@@ -248,14 +262,17 @@ def make_spatial_dist_optimize(
     epsilon: float = 1e-5,
     use_gravity: bool = False,
     use_odometry: bool = False,
+    use_split: bool = False,
     grid_factors=(2.0, 5.0),
     jit: bool = True,
 ):
     """Spatially-owned distributed keyframe adjustment (see module doc).
 
-    Returns opt(params0, flat_pts, flat_mask, flat_rings, aux, grid_sizes)
-    -> (params, final_error, num_cells, max_overflow).  flat_tidx is
-    derived internally (point index // n_pts_per_kf).
+    Returns opt(params0, flat_pts, flat_mask, flat_rings, aux, grid_sizes,
+    flat_normals=None) -> (params, final_error, num_cells, max_overflow).
+    flat_tidx is derived internally (point index // n_pts_per_kf); with
+    use_split=True, flat_normals [K*P, 3] (keyframe-LOCAL) supply the
+    per-iteration normal-split cell channel like the single-chip submap.
     """
     from dmsa_lidar_slam_tpu.parallel.keyframe_dist import _MESH_REGISTRY
 
@@ -281,16 +298,21 @@ def make_spatial_dist_optimize(
         epsilon,
         use_gravity,
         use_odometry,
+        use_split,
         tuple(grid_factors),
         jit,
     )
 
-    def opt(params0, flat_pts, flat_mask, flat_rings, aux, grid_sizes):
+    def opt(params0, flat_pts, flat_mask, flat_rings, aux, grid_sizes, flat_normals=None):
         tidx = jnp.repeat(
             jnp.arange(shapes.n_keyframes, dtype=jnp.int32),
             shapes.n_pts_per_kf,
             total_repeat_length=n_total,
         )
-        return inner(params0, flat_pts, flat_mask, flat_rings, tidx, aux, grid_sizes)
+        if flat_normals is None:
+            flat_normals = jnp.zeros_like(flat_pts)
+        return inner(
+            params0, flat_pts, flat_mask, flat_rings, tidx, flat_normals, aux, grid_sizes
+        )
 
     return opt

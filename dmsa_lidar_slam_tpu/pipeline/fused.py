@@ -256,7 +256,7 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
             from dmsa_lidar_slam_tpu.parallel import spatial
 
             dist_submap_opt = spatial.make_spatial_dist_optimize(
-                mesh, sub_mshapes, **common
+                mesh, sub_mshapes, use_split=True, **common
             )
         else:
             from dmsa_lidar_slam_tpu.parallel import keyframe_dist
@@ -556,7 +556,15 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
                                 settings_map.grid_size_2_factor * smin_grid,
                             ]
                         )
-                        params_new, _, _, _ = dist_submap_opt(sparams, fp, fm, fr, aux, grids)
+                        if dist_is_spatial:
+                            fn3 = sdata.local_normals.reshape(-1, 3)
+                            params_new, _, _, _ = dist_submap_opt(
+                                sparams, fp, fm, fr, aux, grids, flat_normals=fn3
+                            )
+                        else:
+                            params_new, _, _, _ = dist_submap_opt(
+                                sparams, fp, fm, fr, aux, grids
+                            )
                         # (spatial backend: slot 3 is the counted shuffle
                         # overflow; hash backend: the valid-cell count)
                     kf2 = dmap.write_back_capped(state.kf, from_id, params_new)

@@ -605,10 +605,16 @@ class DmsaSlam:
             from dmsa_lidar_slam_tpu.parallel import spatial
 
             opt_fn = spatial.make_spatial_dist_optimize(
-                self._dist_kf_mesh, self.map_shapes, **common
+                self._dist_kf_mesh, self.map_shapes, use_split=True, **common
             )
             params, err, ncells, overflow = opt_fn(
-                params0, flat_pts, flat_mask, flat_rings, aux, grids
+                params0,
+                flat_pts,
+                flat_mask,
+                flat_rings,
+                aux,
+                grids,
+                flat_normals=data.local_normals.reshape(-1, 3),
             )
             iters = jnp.asarray(c.num_iter_keyframe_optim)
             if int(overflow):
