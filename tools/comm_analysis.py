@@ -132,10 +132,10 @@ def main():
     from dmsa_lidar_slam_tpu.parallel import spatial
 
     sopt = spatial.make_spatial_dist_optimize(
-        mesh, shapes, num_iter=NUM_ITER, min_points=10, jit=True
+        mesh, shapes, num_iter=NUM_ITER, min_points=10, use_split=True, jit=True
     )
     rows_sp, sp_iter_bytes, sp_iter_calls = analyze(
-        sopt, (params, pts, mask, rings, aux, grids)
+        sopt, (params, pts, mask, rings, aux, grids, pts)
     )
 
     # arithmetic intensity: per-shard flops per iteration / collective bytes
