@@ -89,9 +89,12 @@ class Config:
     dist_table_size: int = 65536  # hash-cell table per grid resolution
     # "spatial": shuffle points to voxel-owner devices, exact local cells,
     # ~1 MB collectives/iteration (parallel.spatial — SCALING.md backend B);
-    # "hash": r3 point-sharded hash cells with psum'd table reductions
+    # "hash": r3 point-sharded hash cells with psum'd table reductions.
+    # NOTE: "hash" optimizes a COARSER model than single-chip/"spatial" —
+    # it has no normal-split cell channel (Gaussians.h:27-85 analogue) and
+    # owner election drops ~occupied_voxels/2T of cells; the pipelines log
+    # a warning when it is selected.
     dist_backend: str = "spatial"
-    # (owner election drops ~occupied_voxels/2T of cells; size ~10x voxels)
 
     # --- TPU-build specific shape caps (padding discipline) ---
     # fixed compile-time span of the submap keyframe optimization: the

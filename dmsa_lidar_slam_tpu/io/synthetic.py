@@ -59,18 +59,22 @@ def _plane_frame(normal):
     return u, v
 
 
-def sample_scene_points(rng, n_points, planes=None):
+def sample_scene_points(rng, n_points, planes=None, return_normals=False):
     planes = planes or room_scene()
     areas = np.array([4.0 * eu * ev for (_, _, eu, ev) in planes])
     counts = rng.multinomial(n_points, areas / areas.sum())
-    pts = []
+    pts, nrms = [], []
     for (p0, nrm, eu, ev), c in zip(planes, counts):
         u, v = _plane_frame(nrm)
         uu = rng.uniform(-eu, eu, size=c)
         vv = rng.uniform(-ev, ev, size=c)
         pts.append(np.asarray(p0)[None, :] + uu[:, None] * u[None, :] + vv[:, None] * v[None, :])
+        nrms.append(np.broadcast_to(np.asarray(nrm, float), (c, 3)))
     pts = np.concatenate(pts, axis=0)
-    return pts[rng.permutation(len(pts))]
+    perm = rng.permutation(len(pts))
+    if return_normals:
+        return pts[perm], np.concatenate(nrms, axis=0)[perm]
+    return pts[perm]
 
 
 class TruePose(NamedTuple):

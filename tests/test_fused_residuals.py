@@ -111,10 +111,15 @@ def test_gn_system_matches_autodiff(giant_cell):
 
     # Pallas kernel (interpret mode) == reference WITHOUT the mean term
     # (the kernel omits it: at the linearization point s_bar is only the
-    # f32 error of the stored cell mean)
+    # f32 error of the stored cell mean).  The kernel's Jacobian-gather and
+    # run-sum contractions run in bf16 (r5: the f32 gather was ~50% of the
+    # kernel at P=282), so H/g agree to bf16 element rounding: ~1% of the
+    # matrix scale.  The GN direction this feeds tolerates that — step
+    # acceptance uses cand_errors, which stays f32.
     hext = fr.gn_system(jnp.asarray(tab0), jnp.asarray(dtabs), packed)
+    scale = float(np.max(np.abs(np.asarray(hext_nomean))))
     np.testing.assert_allclose(
-        np.asarray(hext), np.asarray(hext_nomean), rtol=2e-3, atol=2e-4
+        np.asarray(hext), np.asarray(hext_nomean), rtol=0.03, atol=0.01 * scale
     )
 
 
