@@ -46,6 +46,9 @@ SEEDS = (3, 4, 7)  # multi-seed gate (VERDICT r2: single-seed is a coin flip)
 # the regime the short bench cannot police
 LONG_ATE_GATE_M = 0.05  # measured 0.0105 on the idle chip
 LONG_MIN_SPAN = 17  # the uncapped suffix must demonstrably exceed 16
+LONG_MIN_RATIO = 1.0  # BASELINE flagship target: >1x realtime AT SCALE
+# (VERDICT r4 weak #1: the r4 gate checked only ATE/span, so "passed"
+# coexisted with long.ratio = 0.64 — the flagship perf number being red)
 LONG_SCANS = 310
 
 
@@ -84,6 +87,7 @@ def run_sequence(cfg, seq, data, timed_range, traced: int = 0):
         feed(slam, data[i])
     _ = slam.kf_count  # sync: compile + warmup fully done
     warm = time.perf_counter() - t_w0
+    slam.metrics.reset_stages()  # stage_times = timed region only
 
     t0 = time.perf_counter()
     for i in range(lo, hi):
@@ -191,6 +195,7 @@ def main():
         np.isfinite(long_d["ate_m"])
         and long_d["ate_m"] <= LONG_ATE_GATE_M
         and long_d["max_submap_span"] >= LONG_MIN_SPAN
+        and long_d["ratio"] >= LONG_MIN_RATIO
     )
     gate_ok = short_ok and long_ok
 
@@ -221,7 +226,8 @@ def main():
         print(
             f"bench gate FAILED: short worst ATE {worst:.4f} m (gate {ATE_GATE_M}), "
             f"long ATE {long_d['ate_m']} m (gate {LONG_ATE_GATE_M}), "
-            f"max span {long_d['max_submap_span']} (min {LONG_MIN_SPAN})",
+            f"max span {long_d['max_submap_span']} (min {LONG_MIN_SPAN}), "
+            f"long ratio {long_d['ratio']} (min {LONG_MIN_RATIO})",
             file=sys.stderr,
         )
         sys.exit(1)

@@ -203,6 +203,11 @@ def optimize(
         use_pallas = fr._use_pallas()
         out = forward_fn(params, data)
         xs, tidx = tabular_fn.point_arrays(data)
+        tab_fn = lambda p: tabular_fn.tables(p, data)
+        (tab, extra0), lin = jax.linearize(tab_fn, params)
+        eye = jnp.eye(num_params, dtype=pdt)
+        dtab, j_extra = jax.vmap(lin)(eye)  # [P, Dtab, 8], [P, E]
+
         build = fr.build_packed if use_pallas else fr.build_packed_ref
         packs, nvs = [], []
         for factor in (settings.grid_size_1_factor, settings.grid_size_2_factor):
@@ -217,16 +222,12 @@ def optimize(
                     settings.min_num_points_per_set,
                     obs_weight=out.obs_weight,
                     split_ids=out.split_ids,
+                    tab=tab,
                 )
                 packs.append(pk)
                 nvs.append(nv)
         packed = packs[0] if len(packs) == 1 else jnp.concatenate(packs, axis=1)
         n_gauss = sum(nvs, jnp.array(0))
-
-        tab_fn = lambda p: tabular_fn.tables(p, data)
-        (tab, extra0), lin = jax.linearize(tab_fn, params)
-        eye = jnp.eye(num_params, dtype=pdt)
-        dtab, j_extra = jax.vmap(lin)(eye)  # [P, Dtab, 8], [P, E]
 
         hext = (fr.gn_system if use_pallas else fr.gn_system_ref)(tab, dtab, packed)
         H = hext[:num_params, :num_params].astype(pdt)

@@ -200,48 +200,36 @@ def floored_inverse_sym6(a, floor):
 
 
 def _floor_fns(floor):
+    # HARD eigenvalue floor g(x) = 1/max(x, floor) — the reference's exact
+    # semantics (Gaussians.h:181-201).  r4 used a smooth C^oo barrier
+    # h(x) = x + floor*exp(-x/floor) to keep the spectral polynomial's
+    # confluent fallbacks continuous, but (a) nothing differentiates
+    # through the frozen per-iteration Lambda anywhere in the optimizer,
+    # (b) g itself IS continuous under the hard floor (only dg/d2g jump at
+    # the kink, and those only enter the <1e-6-separated-eigenvalue
+    # fallbacks, where their contribution is O(|l_i - l_j|)), and (c) the
+    # ~5 exp() per point were a measurable cost of the cell-build kernel
+    # at 196k-point submaps.
     m = floor
 
-    def _e(x):
-        return jnp.exp(jnp.clip(-x / m, -60.0, 30.0))
-
-    def h(x):
-        return x + m * _e(x)
-
-    def hp(x):
-        return 1.0 - _e(x)
-
-    def hpp(x):
-        return _e(x) / m
-
     def g(x):
-        return 1.0 / h(x)
+        return 1.0 / jnp.maximum(x, m)
 
     def dg(x):
-        return -hp(x) / jnp.maximum(h(x) ** 2, _EPS)
+        return jnp.where(x > m, -1.0 / jnp.maximum(x * x, _EPS), 0.0)
 
     def d2g(x):
-        hx = jnp.maximum(h(x), _EPS)
-        return (2.0 * hp(x) ** 2 / hx - hpp(x)) / (hx * hx)
+        return jnp.where(x > m, 2.0 / jnp.maximum(x * x * x, _EPS), 0.0)
 
     return g, dg, d2g
 
 
 def floored_inverse_sym3(A, floor):
     """Eigenvalue-floored inverse V diag(1/max(lambda, floor)) V^T without
-    computing V (the information matrix, Gaussians.h:181-201).
-
-    The hard floor makes g non-differentiable, which is poison for the
-    Newton-form spectral polynomial when eigenvalues cluster around the
-    kink (the confluent fallbacks would be discontinuous).  We use the C^oo
-    barrier h(x) = x + floor * exp(-x / floor):
-        h(0) = floor           -> g(0) = 1/floor (exact floor behavior)
-        h(x) ~ x for x >> floor -> g ~ 1/x       (exact inverse behavior)
-    so g deviates from the reference's hard floor only in the transition
-    band around lambda ~ floor (where the reference itself is kinked).
-    (The clipped exponent in _floor_fns keeps h finite for numerical-noise
-    negative eigenvalues so no NaN can leak out of masked junk cells.)
-    """
+    computing V (the information matrix, Gaussians.h:181-201) — the hard
+    floor, matching the reference exactly (see _floor_fns for why the r4
+    smooth barrier was retired).  max() also absorbs numerical-noise
+    negative eigenvalues from masked junk cells (no NaN can leak out)."""
     return matrix_function_sym3(A, *_floor_fns(floor))
 
 

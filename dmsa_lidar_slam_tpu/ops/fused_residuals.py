@@ -21,19 +21,26 @@ total squared DMSA residual  sum_cells |q1_r - n_r * mean^T wL mean|
 (DmsaOptimizer.h:234-273 semantics with membership/Lambda frozen at the
 linearization point).  Per tile: one one-hot MXU matmul gathers all K
 tables at once, the quadratic forms are VPU channel math, and the per-run
-reduction is a segmented Hillis-Steele scan over the tile with a carry for
-runs crossing tile boundaries — no HBM gathers, no cumsum materialization,
-no layout copies.
+reduction is a run-indexed one-hot MXU contraction (run sums =
+big @ onehot_seg^T; hi/lo bf16 splitting keeps candidate errors at
+f32-class accuracy because they are COMPARED against each other) with the
+cross-tile continuing run folded in as one extra run column fed by a
+carry — no HBM gathers, no lane scans over wide channel blocks, no
+layout copies.
 
 Kernel 2 — gn_system: the structured Gauss-Newton normal equations.  Uses
 the run identity   J_r = scale_r * (u_r - (wL s_bar_r)^T B_r)   with
-u_r = sum_j (wL d0_j)^T dp_j/dtheta and B_r = sum_j dp_j/dtheta, both
-accumulated in the same segmented scan, so H = J^T J, g = J^T e and
-error0 come out of ONE pass (one [JR, JR] MXU contraction per tile) —
-the [M, P] Jacobian never exists.  Replaces the reference's numeric
-forward differences (DmsaOptimizer.h:199-232: one full pipeline pass per
-parameter) at exactly-structured-Jacobian fidelity (dmsa.optimizer
-structured path, tests/test_structured_jac.py).
+u_r = sum_j (wL d0_j)^T dp_j/dtheta and B_r = sum_j dp_j/dtheta, the run
+sums taken by the same one-hot MXU contraction (plain bf16: H/g feed a
+line-searched GN direction and tolerate element rounding — r4's [4+P, T]
+segmented Hillis-Steele scan at P=282 was the profile's #1 lever), so
+H = J^T J, g = J^T e and error0 come out of ONE pass (one [JR, JR] MXU
+contraction per tile over run columns) — the [M, P] Jacobian never
+exists.  Replaces the reference's numeric forward differences
+(DmsaOptimizer.h:199-232: one full pipeline pass per parameter) at
+structured-Jacobian fidelity (dmsa.optimizer structured path,
+tests/test_structured_jac.py; bf16 bound pinned by
+tests/test_fused_residuals.py).
 
 Data layout: all per-point inputs are packed into ONE [16, M] f32 array
 (points on LANES — a [M, 3] array would waste 125/128 lanes per tile):
@@ -245,7 +252,7 @@ def _run_ids(newc, interp=True):
     return seg.astype(jnp.int32), total.astype(jnp.int32), had_cont
 
 
-def _run_sums_matmul(big, seg_i, total, had_cont, carry_ref, interp=True):
+def _run_sums_matmul(big, seg_i, total, had_cont, carry_ref, interp=True, hilo=False):
     """Per-run sums of `big` [C, T] via ONE one-hot MXU contraction.
 
     Replaces the [C, T] x log2(T) segmented Hillis-Steele scan (the r4
@@ -255,20 +262,35 @@ def _run_sums_matmul(big, seg_i, total, had_cont, carry_ref, interp=True):
     previous tile rides as run column `total` (see _run_ids): carry_ref's
     column 0 is added there (only when a continuation exists — otherwise
     that column is an empty ghost run and must stay zero), and the new
-    carry is the trailing run's column.  bf16 rounds each ELEMENT of big
-    to ~0.4%% before the f32 accumulate; callers must tolerate that on
-    every channel they feed through here.
+    carry is the trailing run's column.
+
+    hilo=False: bf16 rounds each ELEMENT of big to ~0.4% before the f32
+    accumulate; callers must tolerate that on every channel (gn_system:
+    fine, H/g feed a line-searched GN direction).  hilo=True: exact hi/lo
+    bf16 splitting — big = hi + lo with both parts bf16-representable and
+    the one-hot matrix exact 0/1, so TWO bf16 matmuls reconstruct the f32
+    contraction to ~2^-16 element rounding (cand_errors: line-search
+    comparisons must stay f32-class; Mosaic has no 3-pass precision).
     """
     t = big.shape[1]
     rowt = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
     ohseg = (rowt == seg_i).astype(jnp.bfloat16)  # [T(runs), T(pos)]
-    sums = jax.lax.dot_general(
-        big.astype(jnp.bfloat16),
-        ohseg,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,  # package default is HIGHEST
-    )  # [C, T(runs)]
+
+    def mm(x):
+        return jax.lax.dot_general(
+            x,
+            ohseg,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,  # package default is HIGHEST
+        )
+
+    if hilo:
+        hi = big.astype(jnp.bfloat16)
+        lo = (big - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        sums = mm(hi) + mm(lo)  # [C, T(runs)]
+    else:
+        sums = mm(big.astype(jnp.bfloat16))
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
     cmask = ((lane == total) & had_cont).astype(jnp.float32)
     sums = sums + cmask * carry_ref[:, 0:1]
@@ -318,20 +340,26 @@ def _cand_kernel(k_cand, dpad, t_tile, interp, tab_ref, pk_ref, out_ref, carry_r
     d0z = (pz + tz3 - mu0[2:3]) * w
     lx, ly, lz = _sym6_mv(lam, d0x, d0y, d0z)
     quad = lx * d0x + ly * d0y + lz * d0z
-    v = jnp.concatenate([d0x, d0y, d0z, quad], axis=0)  # [4K, T], K-blocks
 
-    prefix, covered = _seg_scan(v, newc, interp)
-    # rows before the tile's first run start continue the previous tile's
-    # open run: add its carried prefix
-    prefix = prefix + jnp.where(covered > 0.0, 0.0, carry_ref[:, 0:1])
-    carry_ref[:, 0:1] = prefix[:, t_tile - 1 : t_tile]
+    # per-run sums via the hi/lo one-hot MXU contraction (f32-class —
+    # candidate errors are COMPARED against each other, so unlike
+    # gn_system plain bf16 rounding is not acceptable here); lam/invn ride
+    # masked to end rows so each run column carries its cell's values
+    endm = (invn_end > 0.0).astype(jnp.float32)
+    big = jnp.concatenate(
+        [d0x, d0y, d0z, quad, lam * endm, invn_end], axis=0
+    )  # [4K+7, T]
+    seg_i, total, had_cont = _run_ids(newc, interp)
+    sums = _run_sums_matmul(big, seg_i, total, had_cont, carry_ref, interp, hilo=True)
 
-    sx, sy, sz = prefix[0:k], prefix[k : 2 * k], prefix[2 * k : 3 * k]
-    q1 = prefix[3 * k : 4 * k]
-    cx, cy, cz = _sym6_mv(lam, sx, sy, sz)
-    corr = invn_end * (cx * sx + cy * sy + cz * sz)
+    sx, sy, sz = sums[0:k], sums[k : 2 * k], sums[2 * k : 3 * k]
+    q1 = sums[3 * k : 4 * k]
+    lam_r = sums[4 * k : 4 * k + 6]
+    invn_r = sums[4 * k + 6 : 4 * k + 7]
+    cx, cy, cz = _sym6_mv(lam_r, sx, sy, sz)
+    corr = invn_r * (cx * sx + cy * sy + cz * sz)
     val = q1 - corr
-    cmat = jnp.where(invn_end > 0.0, jnp.abs(val), 0.0)  # [K, T]
+    cmat = jnp.where(invn_r > 0.0, jnp.abs(val), 0.0)  # [K, T(runs)]
     out_ref[:, 0:1] += jnp.sum(cmat, axis=1, keepdims=True)
 
 
@@ -353,7 +381,7 @@ def _cand_call(m, k_cand, dpad, t_tile):
             ],
             out_specs=pl.BlockSpec((k_cand, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((k_cand, 128), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((4 * k_cand, 128), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((4 * k_cand + 7, 128), jnp.float32)],
             interpret=_interpret(),
             cost_estimate=pl.CostEstimate(
                 flops=2 * 8 * k_cand * dpad * m + 60 * k_cand * m,
@@ -669,7 +697,8 @@ def gn_system_ref(tab, dtabs, packed, include_mean_term=True):
 #     the [16, T] packed block (pack_rows layout) directly.
 #
 # Semantics match gaussians.build_cells exactly (same acceptance rules,
-# same normalization, same smooth floor) up to f32 summation order.
+# same normalization, same hard eigenvalue floor) up to f32 summation
+# order.
 
 
 def _acos3(r):
@@ -720,23 +749,16 @@ def _eigvals6_rows(a):
 
 def _floored_inverse6_rows(a, floor):
     """ops.eig3.floored_inverse_sym6 in channel layout ([6, T] -> [6, T]);
-    same smooth-barrier spectral polynomial, bit-for-bit math."""
+    same hard-floor spectral polynomial (see eig3._floor_fns — the r4
+    smooth barrier cost ~5 exp per point for a differentiability nothing
+    uses), bit-for-bit math."""
     m = floor
 
-    def _e(x):
-        return jnp.exp(jnp.clip(-x / m, -60.0, 30.0))
-
-    def h(x):
-        return x + m * _e(x)
-
-    def hp(x):
-        return 1.0 - _e(x)
-
     def g(x):
-        return 1.0 / h(x)
+        return 1.0 / jnp.maximum(x, m)
 
     def dg(x):
-        return -hp(x) / jnp.maximum(h(x) ** 2, 1e-30)
+        return jnp.where(x > m, -1.0 / jnp.maximum(x * x, 1e-30), 0.0)
 
     l1, l2, l3 = _eigvals6_rows(a)
     dd1 = g(l1)
@@ -753,9 +775,7 @@ def _floored_inverse6_rows(a, floor):
     small13 = jnp.abs(diff13) < 1e-6
 
     def d2g(x):
-        hx = jnp.maximum(h(x), 1e-30)
-        hpp = _e(x) / m
-        return (2.0 * hp(x) ** 2 / hx - hpp) / (hx * hx)
+        return jnp.where(x > m, 2.0 / jnp.maximum(x * x * x, 1e-30), 0.0)
 
     safe13 = jnp.where(small13, 1.0, diff13)
     dd123 = jnp.where(small13, 0.5 * d2g((l1 + l3) * 0.5), (dd12 - dd23) / safe13)
@@ -808,12 +828,17 @@ def _seg_scan_rev(v, f, interp=True):
 
 
 def _build_kernel(
-    t_tile, n_tiles, min_points, floor, interp, kin_ref, out_ref, stats_ref, end_ref, carry_ref
+    t_tile, n_tiles, min_points, floor, dpad, interp, *refs
 ):
-    # refs: 1 input, 2 outputs (packed VMEM block, stats SMEM [1,2] with a
-    # constant index map — revisited every step, so += accumulates), then
-    # the endstats + carry scratch
+    # refs: inputs ([tab] when dpad, kin), 2 outputs (packed VMEM block,
+    # stats SMEM [1,2] with a constant index map — revisited every step,
+    # so += accumulates), then the endstats + carry scratch
     import jax.experimental.pallas as pl
+
+    if dpad:
+        tab_ref, kin_ref, out_ref, stats_ref, end_ref, carry_ref = refs
+    else:
+        (kin_ref, out_ref, stats_ref, end_ref, carry_ref) = refs
 
     p = pl.program_id(0)
     i = pl.program_id(1)
@@ -825,18 +850,48 @@ def _build_kernel(
         stats_ref[0, 0] = 0.0  # SMEM accepts scalar stores only
         stats_ref[0, 1] = 0.0
 
-    kin = kin_ref[:]  # [12, T]
-    pts = kin[0:3]
-    xs = kin[3:6]
-    w = kin[6:7]
-    ring = kin[7:8]
-    obs = kin[8:9]
-    tidx = kin[9:10]
-    newc = kin[10:11]
-    is_end = kin[11:12]
+    kin = kin_ref[:]  # [12, T] (classic) or [6, T] (tab path)
+    if dpad:
+        # compact layout: xs(3), enc, newc, is_end — w/ring/tidx unpacked
+        # from enc, world points recomputed from the pose table exactly
+        # like the gn/cand kernels do (so the stored cell means match the
+        # residual kernels' linearization point bit-for-bit, and the sort
+        # carries HALF the payload).
+        xs = kin[0:3]
+        enc_i = kin[3:4].astype(jnp.int32)
+        newc = kin[4:5]
+        is_end = kin[5:6]
+        w = (enc_i & 1).astype(jnp.float32)
+        ring = ((enc_i >> 1) & 1023).astype(jnp.float32)
+        tidx = (enc_i >> 11).astype(jnp.float32)
+        obs = w
+
+        def get_pts():  # called inside phase 0 only — the gather is real work
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (dpad, t_tile), 0)
+            oh = (rowi == (enc_i >> 11)).astype(jnp.float32)
+            tg = jax.lax.dot_general(
+                tab_ref[:], oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [8, T] — f32 gather (global HIGHEST precision: positions)
+            px, py, pz = _qrot(
+                tg[0:1], tg[1:2], tg[2:3], tg[3:4], xs[0:1], xs[1:2], xs[2:3]
+            )
+            p3 = jnp.concatenate([px + tg[4:5], py + tg[5:6], pz + tg[6:7]], axis=0)
+            return p3 * w  # masked rows: keep origins/moments junk-free
+    else:
+        xs = kin[3:6]
+        w = kin[6:7]
+        ring = kin[7:8]
+        obs = kin[8:9]
+        tidx = kin[9:10]
+        newc = kin[10:11]
+        is_end = kin[11:12]
+
+        def get_pts():
+            return kin[0:3]
 
     @pl.when(p == 0)
     def _fwd():
+        pts = get_pts()
         # ring-prev across the tile boundary (carry row 12)
         rp = _shift_right(ring, 1, interp)
         rp = jnp.where(col == 0, carry_ref[12:13, 0:1], rp)
@@ -911,22 +966,29 @@ def _build_kernel(
 
 
 @lru_cache(maxsize=None)
-def _build_call(n, t_tile, min_points, floor):
+def _build_call(n, t_tile, min_points, floor, dpad=0):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_tiles = n // t_tile
     interp = _interpret()
-    kern = partial(_build_kernel, t_tile, n_tiles, min_points, floor, interp)
+    kern = partial(_build_kernel, t_tile, n_tiles, min_points, floor, dpad, interp)
 
     def idx(p, i):
         return (0, jnp.where(p == 0, i, n_tiles - 1 - i))
 
-    def call(kin):
+    kin_rows = 6 if dpad else 12
+    in_specs = [pl.BlockSpec((kin_rows, t_tile), idx, memory_space=pltpu.VMEM)]
+    if dpad:
+        in_specs.insert(
+            0, pl.BlockSpec((8, dpad), lambda p, i: (0, 0), memory_space=pltpu.VMEM)
+        )
+
+    def call(*ops):
         packed, stats = pl.pallas_call(
             kern,
             grid=(2, n_tiles),
-            in_specs=[pl.BlockSpec((12, t_tile), idx, memory_space=pltpu.VMEM)],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((PACK_ROWS, t_tile), idx, memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -941,15 +1003,17 @@ def _build_call(n, t_tile, min_points, floor):
             ],
             interpret=interp,
             cost_estimate=pl.CostEstimate(
-                flops=400 * n, bytes_accessed=4 * n * (12 + 16 + 2 * 10), transcendentals=4 * n
+                flops=400 * n + (2 * 8 * dpad * n if dpad else 0),
+                bytes_accessed=4 * n * (kin_rows + 16 + 2 * 10),
+                transcendentals=4 * n,
             ),
-        )(kin)
+        )(*ops)
         return packed, stats
 
     return jax.jit(call)
 
 
-def build_packed(points_w, mask, ring_ids, xs, tidx, grid_size, min_points, obs_weight=None, split_ids=None):
+def build_packed(points_w, mask, ring_ids, xs, tidx, grid_size, min_points, obs_weight=None, split_ids=None, tab=None):
     """One-resolution cell build straight to the packed kernel input.
 
     Sort + run-boundary flags in XLA, everything after in the build kernel.
@@ -957,6 +1021,15 @@ def build_packed(points_w, mask, ring_ids, xs, tidx, grid_size, min_points, obs_
     gaussians.build_cells + pack_rows (tests/test_fused_residuals.py pins
     the equivalence; f32 summation order differs, and the run-local-origin
     moments are the numerically safer of the two).
+
+    When `tab` ([Dtab, 8] pose table, quat wxyz + transl) is given and
+    obs_weight is None (the reference never weights point sets —
+    OptimizablePointSet.h:52 default 1.0, no override), the sort carries
+    HALF the payload: world points are recomputed in-kernel from (tab, xs,
+    tidx) exactly like the gn/cand kernels, and (tidx, ring, mask) pack
+    into one f32 lane (tidx<=8191, ring<=1023, all exact under 2^24).
+    The stored cell means then match the residual kernels' linearization
+    point bit-for-bit.  `points_w` still supplies the voxel keys.
     """
     from dmsa_lidar_slam_tpu.ops import voxel
     from dmsa_lidar_slam_tpu.ops.gaussians import COV_EIG_FLOOR
@@ -964,6 +1037,37 @@ def build_packed(points_w, mask, ring_ids, xs, tidx, grid_size, min_points, obs_
     n = points_w.shape[0]
     hi, lo = voxel.voxel_keys(points_w, mask, grid_size, channel=split_ids)
     wf = mask.astype(jnp.float32)
+    t_tile = 1024 if n % 1024 == 0 else (512 if n % 512 == 0 else 256)
+
+    if tab is not None and obs_weight is None:
+        assert tab.shape[0] <= 8192, "enc packs tidx in 13 bits (f32-exact)"
+        enc = (
+            (tidx.astype(jnp.int32) << 11)
+            | ((ring_ids.astype(jnp.int32) & 1023) << 1)
+            | mask.astype(jnp.int32)
+        ).astype(jnp.float32)
+        s = jax.lax.sort(
+            (hi, lo, xs[:, 0], xs[:, 1], xs[:, 2], enc), num_keys=2, is_stable=True
+        )
+        hi_s, lo_s = s[0], s[1]
+        newc = jnp.concatenate(
+            [jnp.ones((1,), bool), (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]
+        )
+        is_end = jnp.concatenate([newc[1:], jnp.ones((1,), bool)])
+        enc_s = s[5]
+        kin = jnp.stack(
+            list(s[2:5])
+            + [enc_s, newc.astype(jnp.float32), is_end.astype(jnp.float32)],
+            axis=0,
+        )
+        num_raw = jnp.sum(newc & ((enc_s.astype(jnp.int32) & 1) > 0))
+        tabp = prep_tables(tab[None])  # [8, Dpad]
+        with jax.enable_x64(False):
+            packed, stats = _build_call(
+                n, t_tile, int(min_points), float(COV_EIG_FLOOR), dpad=tabp.shape[1]
+            )(tabp, kin)
+        return packed, stats[0, 0].astype(jnp.int32), num_raw
+
     obs = wf if obs_weight is None else obs_weight.astype(jnp.float32) * wf
     ops_in = (
         hi,
@@ -994,15 +1098,16 @@ def build_packed(points_w, mask, ring_ids, xs, tidx, grid_size, min_points, obs_
         axis=0,
     )
     num_raw = jnp.sum(newc & (w_s > 0.5))
-    t_tile = 1024 if n % 1024 == 0 else (512 if n % 512 == 0 else 256)
     with jax.enable_x64(False):
         packed, stats = _build_call(n, t_tile, int(min_points), float(COV_EIG_FLOOR))(kin)
     return packed, stats[0, 0].astype(jnp.int32), num_raw
 
 
-def build_packed_ref(points_w, mask, ring_ids, xs, tidx, grid_size, min_points, obs_weight=None, split_ids=None):
+def build_packed_ref(points_w, mask, ring_ids, xs, tidx, grid_size, min_points, obs_weight=None, split_ids=None, tab=None):
     """Reference path: gaussians.build_cells + pack_rows (the pre-kernel
-    implementation) — test oracle and non-TPU fallback."""
+    implementation) — test oracle and non-TPU fallback.  `tab` is accepted
+    for signature parity with build_packed and ignored (this path takes
+    the caller's world points directly)."""
     from dmsa_lidar_slam_tpu.ops import gaussians
 
     aux = jnp.concatenate([xs, tidx.astype(jnp.float32)[:, None]], axis=1)

@@ -30,7 +30,9 @@ import jax
 import jax.numpy as jnp
 
 _TQ = 1024  # query tile (lanes of the [TN, TQ] distance tile)
-_TN = 2048  # reference tile (sublanes); [TN, TQ] f32 distance tile = 8 MB VMEM
+_TN = 1024  # reference tile (sublanes); [TN, TQ] f32 distance tile = 4 MB
+# VMEM (the hi/lo product keeps ~3 product tiles live; the scoped VMEM
+# limit is 16 MB and TN=2048 measured 16.5 MB)
 _PENALTY = jnp.float32(1e30)
 
 
@@ -88,9 +90,31 @@ def _kernel(refA_ref, qA_ref, qn_ref, out_ref):
     def _():
         out_ref[:] = jnp.full_like(out_ref, jnp.inf)
 
-    dot = jax.lax.dot_general(
-        refA_ref[:], qA_ref[:], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [TN, TQ] = -2 r.q + rn(+penalty)
+    # bf16 hi/lo product: r.q = rh.qh + rh.ql + rl.qh + rl.ql + O(2^-32) —
+    # four single-pass bf16 MXU contractions instead of one SIX-pass f32
+    # one (the package-wide 'highest' matmul default reached in here and
+    # made this K=4 contraction 2x slower than necessary; plain bf16 is
+    # too coarse for squared distances compared against ~0.04 m^2 radii)
+    ra = refA_ref[:]
+    qa = qA_ref[:]
+    rh = ra.astype(jnp.bfloat16)
+    rl = (ra - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+    qh = qa.astype(jnp.bfloat16)
+    ql = (qa - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a,
+            b,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    # rl.ql is NOT negligible here: |r|,|q| ~ scene radius, so dropping it
+    # costs ~0.05 m^2 — four single-pass bf16 contractions still beat the
+    # six-pass f32 lowering
+    dot = (mm(rh, qh) + mm(rl, ql)) + (mm(rh, ql) + mm(rl, qh))
     d2 = dot + qn_ref[:]
     out_ref[:] = jnp.minimum(out_ref[:], jnp.min(d2, axis=0, keepdims=True))
 

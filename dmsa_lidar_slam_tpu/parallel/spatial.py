@@ -178,7 +178,7 @@ def _cached_spatial_optimize(
                 build = fr.build_packed if fr._use_pallas() else fr.build_packed_ref
                 pk, nv, _ = build(
                     r_world, rmask, r_rings, r_xs, r_tidx, grid, min_points,
-                    split_ids=r_split,
+                    split_ids=r_split, tab=tab,
                 )
                 packs.append(pk)
                 nvs.append(nv)

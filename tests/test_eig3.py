@@ -18,13 +18,11 @@ def random_spd(rng, n, cond_spread=True):
     return S
 
 
-def np_floored_inverse(S, floor, smooth=True):
+def np_floored_inverse(S, floor):
+    # the HARD eigenvalue floor of the reference (Gaussians.h:181-201);
+    # eig3 matched a smooth barrier until r5 (see eig3._floor_fns)
     w, v = np.linalg.eigh(S)
-    if smooth:
-        # the C-infinity floor barrier used by eig3.floored_inverse_sym3
-        h = w + floor * np.exp(np.clip(-w / floor, -60, 30))
-    else:
-        h = np.maximum(w, floor)
+    h = np.maximum(w, floor)
     return np.einsum("nij,nj,nkj->nik", v, 1.0 / h, v)
 
 

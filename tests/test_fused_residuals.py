@@ -273,6 +273,44 @@ def test_build_packed_matches_ref(giant_cell, with_obs):
     np.testing.assert_allclose(np.asarray(e_k), np.asarray(e_r), rtol=0.02)
 
 
+@pytest.mark.parametrize("giant_cell", [False, True])
+def test_build_packed_tab_path_matches_ref(giant_cell):
+    """The compact build path (tab given: 6-operand sort, world points
+    recomputed in-kernel from the pose table, tidx/ring/mask packed into
+    one enc lane) reproduces build_cells + pack_rows when the caller's
+    world points come from the same table math."""
+    rng, xs, mask, rings, tidx, tab0, cells, packed_old, rand_tab = _problem(
+        seed=5, giant_cell=giant_cell
+    )
+    from dmsa_lidar_slam_tpu.core import rotations as rot
+
+    world = (
+        rot.quat_rotate(jnp.asarray(tab0[tidx, 0:4]), jnp.asarray(xs))
+        + jnp.asarray(tab0[tidx, 4:7])
+    ).astype(jnp.float32)
+    args = (world, jnp.asarray(mask), jnp.asarray(rings), jnp.asarray(xs),
+            jnp.asarray(tidx), 1.0, 4)
+    pk, nv, nr = fr.build_packed(*args, tab=jnp.asarray(tab0))
+    pk_ref, nv_ref, nr_ref = fr.build_packed_ref(*args)
+
+    assert int(nv) == int(nv_ref)
+    assert int(nr) == int(nr_ref)
+    pk = np.asarray(pk)
+    pk_ref = np.asarray(pk_ref)
+    np.testing.assert_array_equal(pk[12:15], pk_ref[12:15])  # w, tidx, newc
+    np.testing.assert_allclose(pk[0:3], pk_ref[0:3], atol=1e-6)  # xs
+    np.testing.assert_allclose(pk[15], pk_ref[15], atol=1e-6)  # invn_end
+    sel = np.abs(pk_ref[6:12]).sum(axis=0) > 0
+    np.testing.assert_allclose(pk[3:6, sel], pk_ref[3:6, sel], atol=2e-4)
+    scale = np.abs(pk_ref[6:12, sel]).max()
+    np.testing.assert_allclose(pk[6:12, sel], pk_ref[6:12, sel], atol=0.02 * scale)
+    # end-to-end: residuals from both builds agree
+    tabs = np.stack([tab0])
+    e_k = fr.cand_errors_ref(jnp.asarray(tabs), jnp.asarray(pk))
+    e_r = fr.cand_errors_ref(jnp.asarray(tabs), jnp.asarray(pk_ref))
+    np.testing.assert_allclose(np.asarray(e_k), np.asarray(e_r), rtol=0.02)
+
+
 def _tab_problem_small():
     """Tiny keyframe tabular problem for stop-criteria probes."""
     from dmsa_lidar_slam_tpu.map import keyframes as kfm
