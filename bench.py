@@ -110,6 +110,33 @@ def run_sequence(cfg, seq, data, timed_range, traced: int = 0):
     return slam, wall, warm, dev_ms
 
 
+# mid-run stressors applied to the pregenerated long-bench stream
+# (VERDICT r4 #6: the proxy for real sensor data must include the failure
+# modes real logs have).  The trajectory itself additionally carries a
+# rotation-dominant yaw wobble (io.synthetic.long_sequence yaw_wobble).
+IMU_DROPOUT_SCANS = range(150, 170)  # 2 s without any IMU mid-run:
+# exercises the no-IMU gain fallback at scale (DmsaSlam.h:426,455-466)
+SHORT_SCAN_EVERY = 37  # every 37th scan arrives truncated to 25% of its
+# points (sensor hiccup / partial revolution)
+SHORT_SCAN_KEEP = 0.25
+
+
+def apply_long_stressors(data):
+    """Mangle the pregenerated stream in place: IMU dropout window +
+    periodically truncated scans.  Ground truth is unchanged (the platform
+    still moves; only the SENSOR stream degrades), so the ATE gate still
+    judges the result against the analytic trajectory."""
+    out = []
+    for i, (pts, stamps, rings, ts, acc, gyr) in enumerate(data):
+        if i in IMU_DROPOUT_SCANS:
+            ts, acc, gyr = ts[:0], acc[:0], gyr[:0]
+        if i > 20 and i % SHORT_SCAN_EVERY == 0:
+            n = max(1, int(len(pts) * SHORT_SCAN_KEEP))
+            pts, stamps, rings = pts[:n], stamps[:n], rings[:n]
+        out.append((pts, stamps, rings, ts, acc, gyr))
+    return out
+
+
 def run_long(seed: int = 3, n_scans: int = LONG_SCANS, n_warm: int = 10):
     """The realistic long benchmark, pre-generated into RAM like the short
     one (~1 GB at 131072 points/scan) so the timed region contains only
@@ -119,7 +146,9 @@ def run_long(seed: int = 3, n_scans: int = LONG_SCANS, n_warm: int = 10):
 
     seq = long_sequence(seed)
     t_g0 = time.perf_counter()
-    data = pregenerate(seq, n_scans, pts_per_scan=131072, n_rings=128)
+    data = apply_long_stressors(
+        pregenerate(seq, n_scans, pts_per_scan=131072, n_rings=128)
+    )
     gen_s = time.perf_counter() - t_g0
 
     slam = FusedDmsaSlam(long_config(), flush_every=20)

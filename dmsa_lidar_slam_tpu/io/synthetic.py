@@ -117,6 +117,7 @@ class SyntheticSequence:
         imu_noise_gyr: float = 0.0,
         imu_bias_acc=(0.0, 0.0, 0.0),
         imu_bias_gyr=(0.0, 0.0, 0.0),
+        yaw_wobble=(0.0, 0.0),
     ):
         self.rng = rng or np.random.default_rng(0)
         self.v_lin = np.asarray(v_lin, float) * room_scale
@@ -143,6 +144,11 @@ class SyntheticSequence:
         self.imu_noise_gyr = imu_noise_gyr
         self.imu_bias_acc = np.asarray(imu_bias_acc, float)
         self.imu_bias_gyr = np.asarray(imu_bias_gyr, float)
+        # (amplitude rad, frequency rad/progress-s): sinusoidal yaw term on
+        # top of the constant yaw rate — periodic ROTATION-DOMINANT
+        # stretches where the angular rate doubles while translation is
+        # unchanged (VERDICT r4 #6: aggressive rotation was untested)
+        self.yaw_wobble = (float(yaw_wobble[0]), float(yaw_wobble[1]))
 
     # ---- path functions over progress u (ramp-integral seconds) ---------
     def _P(self, u):
@@ -184,7 +190,14 @@ class SyntheticSequence:
         )
 
     def _yaw(self, u):
-        return self.yaw0 + self.yaw_rate * np.asarray(u, float)
+        u = np.asarray(u, float)
+        a, w = self.yaw_wobble
+        return self.yaw0 + self.yaw_rate * u + a * np.sin(w * u)
+
+    def _dyaw_du(self, u):
+        u = np.asarray(u, float)
+        a, w = self.yaw_wobble
+        return self.yaw_rate + a * w * np.cos(w * u)
 
     def _ramp_integral(self, rel):
         """Integral of the ramp profile min(max(t - t_still, 0)/t_ramp, 1)
@@ -257,7 +270,7 @@ class SyntheticSequence:
         a_w = self._ddP(u) * (du * du)[:, None] + self._dP(u) * ddu[:, None]
         acc = np.einsum("nji,nj->ni", R, a_w - GRAVITY[None, :])
         gyr = np.zeros((len(ts), 3))
-        gyr[:, 2] = self.yaw_rate * du
+        gyr[:, 2] = self._dyaw_du(u) * du
         acc = acc + self.imu_bias_acc[None, :]
         gyr = gyr + self.imu_bias_gyr[None, :]
         if self.imu_noise_acc > 0:
@@ -346,6 +359,9 @@ def long_sequence(seed: int, **overrides) -> SyntheticSequence:
         loop_amp=(3.8, 2.6, 0.25),
         loop_omega=0.35,
         yaw_rate=0.5,
+        # rotation-dominant stretches: yaw rate periodically reaches
+        # ~0.9 rad/s (vs 0.5 base) while translation is unchanged
+        yaw_wobble=(0.4, 1.0),
         noise_std=0.01,
         t_still=0.6,
         t_ramp=1.5,

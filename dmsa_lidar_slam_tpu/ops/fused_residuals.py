@@ -224,6 +224,31 @@ def _seg_scan(v, f, interp=True):
     return v, f
 
 
+def _onehot_gather_f32(tab, ohb):
+    """EXACT f32 gather tab @ onehot via 3 bf16 limb passes.
+
+    Valid ONLY because `ohb` has at most one nonzero (1.0) per column: the
+    contraction never sums two table entries, so limb splitting
+    tab = h + m + l (each bf16-representable) reconstructs the f32 value
+    exactly while every pass runs at full bf16 MXU rate (the package-wide
+    'highest' default would lower an f32 dot to ~6 passes)."""
+    h = tab.astype(jnp.bfloat16)
+    r1 = tab - h.astype(jnp.float32)
+    m = r1.astype(jnp.bfloat16)
+    l = (r1 - m.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def mm(a):
+        return jax.lax.dot_general(
+            a,
+            ohb,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return mm(h) + mm(m) + mm(l)
+
+
 def _cumsum_lanes(x, interp=True):
     """Plain (unsegmented) inclusive prefix sum along the lane axis."""
     t = x.shape[1]
@@ -325,10 +350,13 @@ def _cand_kernel(k_cand, dpad, t_tile, interp, tab_ref, pk_ref, out_ref, carry_r
     invn_end = pk[15:16]
 
     rowi = jax.lax.broadcasted_iota(jnp.int32, (dpad, t_tile), 0)
-    oh = (rowi == tidx.astype(jnp.int32)).astype(jnp.float32)  # [Dpad, T]
-    tg = jax.lax.dot_general(
-        tab_ref[:], oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [8K, T], row c*K + k (prep_tables column-major order)
+    ohb = (rowi == tidx.astype(jnp.int32)).astype(jnp.bfloat16)  # [Dpad, T]
+    # EXACT f32 one-hot gather in 3 bf16 passes: the one-hot has a single
+    # nonzero per column, so limb splitting reconstructs the f32 table
+    # value bit-for-bit — at K=15 candidates and the window's Dpad=512
+    # this [8K, Dpad] gather at 6-pass f32 HIGHEST was the kernel's
+    # dominant cost
+    tg = _onehot_gather_f32(tab_ref[:], ohb)  # [8K, T], row c*K + k
 
     k = k_cand
     # whole-candidate-batch math on [K, T] blocks (full sublane utilization)
@@ -435,18 +463,16 @@ def _gn_kernel(p_dim, dpad, t_tile, jr, interp, tab_ref, jtab_ref, pk_ref, out_r
     invn_end = pk[15:16]
 
     rowi = jax.lax.broadcasted_iota(jnp.int32, (dpad, t_tile), 0)
-    oh = (rowi == tidx.astype(jnp.int32)).astype(jnp.float32)
-    tg = jax.lax.dot_general(
-        tab_ref[:], oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [8, T] current-params table rows
-    # bf16 table-Jacobian gather: oh has ONE nonzero per column, so the
+    ohb = (rowi == tidx.astype(jnp.int32)).astype(jnp.bfloat16)
+    tg = _onehot_gather_f32(tab_ref[:], ohb)  # [8, T] current-params rows
+    # bf16 table-Jacobian gather: ohb has ONE nonzero per column, so the
     # matmul is an exact gather of the bf16-rounded jtab (no summation
     # error) at ~4x the f32 MXU rate — at P=282 (48-keyframe submap) the
     # f32 gather was ~50% of the r4 kernel.  The ~0.4% rounding lands on J
     # (H, g) only; error/line-search evaluation stays f32 in cand_errors.
     mj = jax.lax.dot_general(
         jtab_ref[:],
-        oh.astype(jnp.bfloat16),
+        ohb,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,  # package default is HIGHEST
@@ -868,10 +894,8 @@ def _build_kernel(
 
         def get_pts():  # called inside phase 0 only — the gather is real work
             rowi = jax.lax.broadcasted_iota(jnp.int32, (dpad, t_tile), 0)
-            oh = (rowi == (enc_i >> 11)).astype(jnp.float32)
-            tg = jax.lax.dot_general(
-                tab_ref[:], oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [8, T] — f32 gather (global HIGHEST precision: positions)
+            ohb = (rowi == (enc_i >> 11)).astype(jnp.bfloat16)
+            tg = _onehot_gather_f32(tab_ref[:], ohb)  # exact f32 positions
             px, py, pz = _qrot(
                 tg[0:1], tg[1:2], tg[2:3], tg[3:4], xs[0:1], xs[1:2], xs[2:3]
             )

@@ -194,3 +194,142 @@ def has_neighbor_within(ref_pts, ref_valid, queries, query_valid, radius):
     """Boolean [Q]: exists a valid reference within `radius` of the query."""
     d2 = min_sq_dist(ref_pts, ref_valid, queries, query_valid)
     return d2 <= jnp.asarray(radius, jnp.float32) ** 2
+
+
+# --------------------------------------------------------------------------
+# fixed-radius neighbor moments (normal estimation)
+# --------------------------------------------------------------------------
+#
+# estimate_normals' k=6-NN hash grid costs ~10 ms per keyframe event at
+# production shapes (27-cell searchsorted + candidate gathers: large random
+# gathers again).  The brute-force recast: the [TN, TQ] distance tile from
+# the same hi/lo contraction, thresholded at the radius, IS the neighbor
+# incidence matrix — so per-query neighbor count / mean / second moments
+# are ONE more MXU contraction per tile pair:
+#
+#     moments[c, q] = sum_r (d2[r, q] <= rho^2) * mom[c, r]
+#
+# with mom rows (1, x, y, z, xx, xy, xz, yy, yz, zz) built in-kernel from
+# the (centered) reference block.  The moment contraction runs at HIGHEST
+# (true f32) precision: covariances of ~0.2 m neighborhoods are recovered
+# from second moments of ~30 m coordinates, so bf16-class product rounding
+# would exceed the covariance scale itself.
+#
+# Semantics: fixed-RADIUS neighborhoods instead of the reference's
+# kSearch(6) (DmsaSlam.h:557-568).  On a grid-downsampled cloud the 6-NN
+# distance is ~1-2 grid steps, so radius = 2 * grid captures a superset;
+# the consumers (normal-split direction buckets, plane-visibility dot
+# products) are direction-level robust.  tests/test_normals_bruteforce.py
+# bounds the angular deviation vs the exact-kNN oracle.
+
+_TNM = 512  # ref tile for the moments kernel (d2 + products stay in VMEM)
+
+
+def _moments_kernel(rho2_ref, refA_ref, qA_ref, qn_ref, out_ref):
+    import jax.experimental.pallas as pl
+
+    k = pl.program_id(1)
+    rho2 = rho2_ref[0, 0]  # SMEM scalar (the radius is a traced value)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ra = refA_ref[:]
+    qa = qA_ref[:]
+    rh = ra.astype(jnp.bfloat16)
+    rl = (ra - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+    qh = qa.astype(jnp.bfloat16)
+    ql = (qa - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a,
+            b,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    d2 = (mm(rh, qh) + mm(rl, ql)) + (mm(rh, ql) + mm(rl, qh)) + qn_ref[:]
+    incid = (d2 <= rho2).astype(jnp.float32)  # [TN, TQ]
+
+    r = -0.5 * ra[0:3]  # centered ref coords (refA carries -2r)
+    rx, ry, rz = r[0:1], r[1:2], r[2:3]
+    mom = jnp.concatenate(
+        [
+            jnp.ones_like(rx), rx, ry, rz,
+            rx * rx, rx * ry, rx * rz, ry * ry, ry * rz, rz * rz,
+            jnp.zeros((6, rx.shape[1]), jnp.float32),
+        ],
+        axis=0,
+    )  # [16, TN]
+    out_ref[:] += jax.lax.dot_general(
+        mom, incid, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # true f32: see module note
+    )
+
+
+def radius_neighbor_moments(pts, valid, radius):
+    """Per-point neighbor count/mean/2nd-moments within `radius` (self
+    included), exact f32, via the tiled incidence contraction above.
+
+    Returns (count [N], mean [N, 3], cov [N, 3, 3]) in the ORIGINAL frame;
+    rows with count < 2 get zero covariance.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pts.shape[0]
+    refA, qA, qn = _prep(pts, valid, pts)
+    refc = jnp.sum(jnp.where(valid[:, None], pts, 0.0), axis=0) / jnp.maximum(
+        jnp.sum(valid), 1
+    )
+    rho2 = jnp.asarray(radius, jnp.float32).reshape(1, 1) ** 2
+    n_ref_tiles = refA.shape[1] // _TNM
+    n_q_tiles = qA.shape[1] // _TQ
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _moments_kernel,
+            grid=(n_q_tiles, n_ref_tiles),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((4, _TNM), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, _TQ), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _TQ), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((16, _TQ), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((16, n_q_tiles * _TQ), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * (4 * 4 + 16) * refA.shape[1] * qA.shape[1],
+                bytes_accessed=4 * (n_q_tiles * refA.size + n_ref_tiles * qA.size),
+                transcendentals=0,
+            ),
+            interpret=not _use_pallas(),
+        )(rho2, refA, qA, qn)
+    out = out[:, :n]
+    cnt = out[0]
+    safe = jnp.maximum(cnt, 1.0)
+    mean_c = out[1:4].T / safe[:, None]  # centered frame
+    m2 = out[4:10].T  # xx, xy, xz, yy, yz, zz
+    mm_ = jnp.stack(
+        [
+            m2[:, 0] - cnt * mean_c[:, 0] * mean_c[:, 0],
+            m2[:, 1] - cnt * mean_c[:, 0] * mean_c[:, 1],
+            m2[:, 2] - cnt * mean_c[:, 0] * mean_c[:, 2],
+            m2[:, 3] - cnt * mean_c[:, 1] * mean_c[:, 1],
+            m2[:, 4] - cnt * mean_c[:, 1] * mean_c[:, 2],
+            m2[:, 5] - cnt * mean_c[:, 2] * mean_c[:, 2],
+        ],
+        axis=1,
+    ) / jnp.maximum(cnt - 1.0, 1.0)[:, None]
+    cov = jnp.stack(
+        [
+            jnp.stack([mm_[:, 0], mm_[:, 1], mm_[:, 2]], axis=1),
+            jnp.stack([mm_[:, 1], mm_[:, 3], mm_[:, 4]], axis=1),
+            jnp.stack([mm_[:, 2], mm_[:, 4], mm_[:, 5]], axis=1),
+        ],
+        axis=1,
+    )
+    cov = jnp.where((cnt >= 2.0)[:, None, None], cov, 0.0)
+    return cnt, mean_c + refc[None, :], cov

@@ -251,3 +251,37 @@ def count_voxels_approx(points, mask, grid_size, table_bits: int = 18):
     occ = jax.ops.segment_max(mask.astype(jnp.int32), slot, num_segments=table + 1)
     occ = jnp.maximum(occ, 0)  # empty segments fill with INT_MIN
     return jnp.sum(occ[:table])
+
+
+def count_voxels_ladder(points, mask, grids):
+    """Occupied-voxel counts at ALL ladder grid sizes in ONE key-only sort.
+
+    Returns [len(grids)] i32.  count_voxels_approx's per-grid scatter cost
+    ~0.9 ms each at 131k points on TPU (scatters serialize); sorting the
+    concatenated (ladder_id << 28 | voxel_hash) keys costs ~0.5 ms TOTAL
+    and counts distinct keys by run boundaries.  28-bit hashes collide
+    less than the scatter table's 18 bits, so counts sit CLOSER to the
+    exact octree counts of the reference ladder (DmsaSlam.h:570-591).
+    """
+    n = points.shape[0]
+    keys = []
+    sentinel = jnp.uint32(0x0FFFFFFF)
+    for li, g in enumerate(grids):
+        c = voxel_coords(points, g).astype(jnp.uint32)
+        h = (c[:, 0] * jnp.uint32(73856093)) ^ (c[:, 1] * jnp.uint32(19349663)) ^ (
+            c[:, 2] * jnp.uint32(83492791)
+        )
+        h = h ^ (h >> 15)  # mix before truncation to 28 bits
+        h = h & sentinel
+        h = jnp.where(h == sentinel, jnp.uint32(0), h)  # keep sentinel unique
+        h = jnp.where(mask, h, sentinel)
+        keys.append((jnp.uint32(li << 28) | h).astype(jnp.int32))
+    k = jnp.concatenate(keys)
+    ks = jax.lax.sort((k,), num_keys=1, is_stable=False)[0]
+    newc = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    valid = (ks & jnp.int32(0x0FFFFFFF)) != jnp.int32(0x0FFFFFFF)
+    lid = jax.lax.shift_right_logical(ks, jnp.asarray(28, ks.dtype))
+    counts = []
+    for li in range(len(grids)):
+        counts.append(jnp.sum(newc & valid & (lid == li), dtype=jnp.int32))
+    return jnp.stack(counts)
