@@ -156,9 +156,13 @@ def _cached_spatial_optimize(
             else:
                 split_col = []
             packs, nvs, ovs = [], [], []
+            # the owner RECOMPUTES world = T[tidx](xs) from the replicated
+            # table (bit-identical to the sender's expression, so the
+            # received point lands in exactly the voxel its owner hash was
+            # computed from) — world coordinates never ride the
+            # all_to_all, cutting its payload by 1/3 (r5; SCALING.md)
             payload = jnp.concatenate(
                 [
-                    world,
                     flat_pts,
                     flat_tidx.astype(jnp.float32)[:, None],
                     flat_rings.astype(jnp.float32)[:, None],
@@ -170,11 +174,14 @@ def _cached_spatial_optimize(
                 grid = grid_sizes[gi]
                 owner = owner_of_voxels(world, flat_mask, grid, n_dev)
                 recv, rmask, ov = shuffle_to_owners(payload, owner, n_dev, cap, axis)
-                r_world = recv[:, 0:3]
-                r_xs = recv[:, 3:6]
-                r_tidx = recv[:, 6].astype(jnp.int32)
-                r_rings = recv[:, 7].astype(jnp.int32)
-                r_split = recv[:, 8].astype(jnp.int32) if use_split else None
+                r_xs = recv[:, 0:3]
+                r_tidx = recv[:, 3].astype(jnp.int32)
+                r_rings = recv[:, 4].astype(jnp.int32)
+                r_split = recv[:, 5].astype(jnp.int32) if use_split else None
+                r_world = (
+                    rot.quat_rotate(tab[:, 0:4][r_tidx], r_xs.astype(tab.dtype))
+                    + tab[:, 4:7][r_tidx]
+                )
                 build = fr.build_packed if fr._use_pallas() else fr.build_packed_ref
                 pk, nv, _ = build(
                     r_world, rmask, r_rings, r_xs, r_tidx, grid, min_points,
