@@ -17,7 +17,7 @@ from dmsa_lidar_slam_tpu.imu.buffer import BIAS_ESTIMATION_SAMPLES
 
 # v2: fused checkpoints carry stamp_base + meaningful device stamps
 # (kf_stamp_queue removed); v1 fused checkpoints are rejected on load.
-CHECKPOINT_VERSION = 2
+CHECKPOINT_VERSION = 3  # r5: event ledger width 24 -> 25 (shuffle overflow)
 
 
 def save_checkpoint(slam, path: str):
