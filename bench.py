@@ -220,9 +220,17 @@ def main():
 
     # --- realistic long run (retirement + revisits + OS-128 raw) --------
     long_d = run_long()
+    # accuracy-only extra seeds (160 scans each: covers the dropout window
+    # and a 26-deep submap span; VERDICT r2's multi-seed principle applied
+    # to the long gate as well)
+    long_ates = {SEEDS[0]: long_d["ate_m"]}
+    for seed in SEEDS[1:]:
+        long_ates[seed] = run_long(seed=seed, n_scans=160)["ate_m"]
+    long_d["ate_per_seed_m"] = {str(k): v for k, v in long_ates.items()}
+    worst_long = max(long_ates.values())
     long_ok = (
-        np.isfinite(long_d["ate_m"])
-        and long_d["ate_m"] <= LONG_ATE_GATE_M
+        np.isfinite(worst_long)
+        and worst_long <= LONG_ATE_GATE_M
         and long_d["max_submap_span"] >= LONG_MIN_SPAN
         and long_d["ratio"] >= LONG_MIN_RATIO
     )
@@ -254,7 +262,8 @@ def main():
     if not gate_ok:
         print(
             f"bench gate FAILED: short worst ATE {worst:.4f} m (gate {ATE_GATE_M}), "
-            f"long ATE {long_d['ate_m']} m (gate {LONG_ATE_GATE_M}), "
+            f"long worst ATE {max(long_d['ate_per_seed_m'].values())} m "
+            f"(gate {LONG_ATE_GATE_M}), "
             f"max span {long_d['max_submap_span']} (min {LONG_MIN_SPAN}), "
             f"long ratio {long_d['ratio']} (min {LONG_MIN_RATIO})",
             file=sys.stderr,
