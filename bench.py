@@ -227,9 +227,11 @@ def main():
     for seed in SEEDS[1:]:
         long_ates[seed] = run_long(seed=seed, n_scans=160)["ate_m"]
     long_d["ate_per_seed_m"] = {str(k): v for k, v in long_ates.items()}
-    worst_long = max(long_ates.values())
+    # np.max propagates NaN (builtin max silently skips it, so a diverged
+    # seed could pass); all seeds must also be finite
+    worst_long = float(np.max(list(long_ates.values())))
     long_ok = (
-        np.isfinite(worst_long)
+        bool(np.all(np.isfinite(list(long_ates.values()))))
         and worst_long <= LONG_ATE_GATE_M
         and long_d["max_submap_span"] >= LONG_MIN_SPAN
         and long_d["ratio"] >= LONG_MIN_RATIO
@@ -262,7 +264,7 @@ def main():
     if not gate_ok:
         print(
             f"bench gate FAILED: short worst ATE {worst:.4f} m (gate {ATE_GATE_M}), "
-            f"long worst ATE {max(long_d['ate_per_seed_m'].values())} m "
+            f"long worst ATE {np.max(list(long_d['ate_per_seed_m'].values()))} m "
             f"(gate {LONG_ATE_GATE_M}), "
             f"max span {long_d['max_submap_span']} (min {LONG_MIN_SPAN}), "
             f"long ratio {long_d['ratio']} (min {LONG_MIN_RATIO})",

@@ -62,6 +62,8 @@ from functools import lru_cache, partial
 import jax
 import jax.numpy as jnp
 
+from dmsa_lidar_slam_tpu.ops import mxu
+
 PACK_ROWS = 16
 
 
@@ -225,28 +227,15 @@ def _seg_scan(v, f, interp=True):
 
 
 def _onehot_gather_f32(tab, ohb):
-    """EXACT f32 gather tab @ onehot via 3 bf16 limb passes.
-
-    Valid ONLY because `ohb` has at most one nonzero (1.0) per column: the
-    contraction never sums two table entries, so limb splitting
-    tab = h + m + l (each bf16-representable) reconstructs the f32 value
-    exactly while every pass runs at full bf16 MXU rate (the package-wide
-    'highest' default would lower an f32 dot to ~6 passes)."""
-    h = tab.astype(jnp.bfloat16)
-    r1 = tab - h.astype(jnp.float32)
-    m = r1.astype(jnp.bfloat16)
-    l = (r1 - m.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    def mm(a):
-        return jax.lax.dot_general(
-            a,
-            ohb,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-
-    return mm(h) + mm(m) + mm(l)
+    """EXACT f32 gather tab @ onehot via 3 bf16 limb passes (ops.mxu
+    invariant 1: a one-hot contraction never sums two table entries)."""
+    h, m, l = mxu.split3(tab)
+    dims = ((1,), (0,))
+    return (
+        mxu.dot_default(h, ohb, dims)
+        + mxu.dot_default(m, ohb, dims)
+        + mxu.dot_default(l, ohb, dims)
+    )
 
 
 def _cumsum_lanes(x, interp=True):
@@ -301,21 +290,12 @@ def _run_sums_matmul(big, seg_i, total, had_cont, carry_ref, interp=True, hilo=F
     rowt = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
     ohseg = (rowt == seg_i).astype(jnp.bfloat16)  # [T(runs), T(pos)]
 
-    def mm(x):
-        return jax.lax.dot_general(
-            x,
-            ohseg,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,  # package default is HIGHEST
-        )
-
+    dims = ((1,), (1,))
     if hilo:
-        hi = big.astype(jnp.bfloat16)
-        lo = (big - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        sums = mm(hi) + mm(lo)  # [C, T(runs)]
+        hi, lo = mxu.split2(big)
+        sums = mxu.dot_default(hi, ohseg, dims) + mxu.dot_default(lo, ohseg, dims)
     else:
-        sums = mm(big.astype(jnp.bfloat16))
+        sums = mxu.dot_default(big.astype(jnp.bfloat16), ohseg, dims)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
     cmask = ((lane == total) & had_cont).astype(jnp.float32)
     sums = sums + cmask * carry_ref[:, 0:1]
@@ -470,12 +450,8 @@ def _gn_kernel(p_dim, dpad, t_tile, jr, interp, tab_ref, jtab_ref, pk_ref, out_r
     # error) at ~4x the f32 MXU rate — at P=282 (48-keyframe submap) the
     # f32 gather was ~50% of the r4 kernel.  The ~0.4% rounding lands on J
     # (H, g) only; error/line-search evaluation stays f32 in cand_errors.
-    mj = jax.lax.dot_general(
-        jtab_ref[:],
-        ohb,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,  # package default is HIGHEST
+    mj = mxu.dot_default(
+        jtab_ref[:], ohb, ((1,), (0,))
     )  # [7P, T] gathered table Jacobian (f32 acc — Mosaic requires 32-bit)
 
     qw, qx, qy, qz = (tg[c : c + 1] for c in range(4))
@@ -535,13 +511,7 @@ def _gn_kernel(p_dim, dpad, t_tile, jr, interp, tab_ref, jtab_ref, pk_ref, out_r
     e_row = jnp.where(mask, r, 0.0)  # [1, T(runs)]
     pad = jnp.zeros((jr - p_dim - 1, t_tile), jnp.float32)
     jext = jnp.concatenate([j_rows, e_row, pad], axis=0).astype(jnp.bfloat16)
-    out_ref[:] += jax.lax.dot_general(
-        jext,
-        jext,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
-    )
+    out_ref[:] += mxu.dot_default(jext, jext, ((1,), (1,)))
 
 
 @lru_cache(maxsize=None)

@@ -29,6 +29,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from dmsa_lidar_slam_tpu.ops import mxu
+
 _TQ = 1024  # query tile (lanes of the [TN, TQ] distance tile)
 _TN = 1024  # reference tile (sublanes); [TN, TQ] f32 distance tile = 4 MB
 # VMEM (the hi/lo product keeps ~3 product tiles live; the scoped VMEM
@@ -92,29 +94,15 @@ def _kernel(refA_ref, qA_ref, qn_ref, out_ref):
 
     # bf16 hi/lo product: r.q = rh.qh + rh.ql + rl.qh + rl.ql + O(2^-32) —
     # four single-pass bf16 MXU contractions instead of one SIX-pass f32
-    # one (the package-wide 'highest' matmul default reached in here and
-    # made this K=4 contraction 2x slower than necessary; plain bf16 is
-    # too coarse for squared distances compared against ~0.04 m^2 radii)
-    ra = refA_ref[:]
-    qa = qA_ref[:]
-    rh = ra.astype(jnp.bfloat16)
-    rl = (ra - rh.astype(jnp.float32)).astype(jnp.bfloat16)
-    qh = qa.astype(jnp.bfloat16)
-    ql = (qa - qh.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    def mm(a, b):
-        return jax.lax.dot_general(
-            a,
-            b,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-
-    # rl.ql is NOT negligible here: |r|,|q| ~ scene radius, so dropping it
-    # costs ~0.05 m^2 — four single-pass bf16 contractions still beat the
-    # six-pass f32 lowering
-    dot = (mm(rh, qh) + mm(rl, ql)) + (mm(rh, ql) + mm(rl, qh))
+    # (plain bf16 is too coarse for squared distances compared against
+    # ~0.04 m^2 radii, and rl.ql is NOT negligible at |r|,|q| ~ scene
+    # radius: dropping it costs ~0.05 m^2)
+    rh, rl = mxu.split2(refA_ref[:])
+    qh, ql = mxu.split2(qA_ref[:])
+    dims = ((0,), (0,))
+    dot = (mxu.dot_default(rh, qh, dims) + mxu.dot_default(rl, ql, dims)) + (
+        mxu.dot_default(rh, ql, dims) + mxu.dot_default(rl, qh, dims)
+    )
     d2 = dot + qn_ref[:]
     out_ref[:] = jnp.minimum(out_ref[:], jnp.min(d2, axis=0, keepdims=True))
 
@@ -235,26 +223,17 @@ def _moments_kernel(rho2_ref, refA_ref, qA_ref, qn_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    ra = refA_ref[:]
-    qa = qA_ref[:]
-    rh = ra.astype(jnp.bfloat16)
-    rl = (ra - rh.astype(jnp.float32)).astype(jnp.bfloat16)
-    qh = qa.astype(jnp.bfloat16)
-    ql = (qa - qh.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    def mm(a, b):
-        return jax.lax.dot_general(
-            a,
-            b,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-
-    d2 = (mm(rh, qh) + mm(rl, ql)) + (mm(rh, ql) + mm(rl, qh)) + qn_ref[:]
+    rh, rl = mxu.split2(refA_ref[:])
+    qh, ql = mxu.split2(qA_ref[:])
+    dims = ((0,), (0,))
+    d2 = (
+        (mxu.dot_default(rh, qh, dims) + mxu.dot_default(rl, ql, dims))
+        + (mxu.dot_default(rh, ql, dims) + mxu.dot_default(rl, qh, dims))
+        + qn_ref[:]
+    )
     incid = (d2 <= rho2).astype(jnp.float32)  # [TN, TQ]
 
-    r = -0.5 * ra[0:3]  # centered ref coords (refA carries -2r)
+    r = -0.5 * refA_ref[0:3]  # centered ref coords (refA carries -2r)
     rx, ry, rz = r[0:1], r[1:2], r[2:3]
     mom = jnp.concatenate(
         [

@@ -232,27 +232,6 @@ def downsample_compact(points, mask, rings, grid_size, key, cap: int):
     return _DC_CACHE[cap](points, mask, rings, grid_size, key)
 
 
-def count_voxels_approx(points, mask, grid_size, table_bits: int = 18):
-    """Approximate occupied-voxel count via hash-table occupancy — no sort.
-
-    Scatters into a 2^table_bits slot table; collisions undercount by
-    ~n_cells^2 / 2^(bits+1), negligible for the preprocessing ladder's
-    grid-size decision (DmsaSlam.h:570-591).
-    """
-    import jax
-
-    table = 1 << table_bits
-    c = voxel_coords(points, grid_size).astype(jnp.uint32)
-    h = (c[:, 0] * jnp.uint32(73856093)) ^ (c[:, 1] * jnp.uint32(19349663)) ^ (
-        c[:, 2] * jnp.uint32(83492791)
-    )
-    slot = (h & jnp.uint32(table - 1)).astype(jnp.int32)
-    slot = jnp.where(mask, slot, table)  # masked points into an extra bin
-    occ = jax.ops.segment_max(mask.astype(jnp.int32), slot, num_segments=table + 1)
-    occ = jnp.maximum(occ, 0)  # empty segments fill with INT_MIN
-    return jnp.sum(occ[:table])
-
-
 def count_voxels_ladder(points, mask, grids):
     """Occupied-voxel counts at ALL ladder grid sizes in ONE key-only sort.
 

@@ -339,7 +339,11 @@ def sharded_optimize(
                 extra_fn,
                 line_search_fracs,
             )
-            stop = (~improved) | (step_norm < epsilon) | (nc < min_num_gaussians)
+            too_few = nc < min_num_gaussians
+            # reject the step on the too-few iteration (single-chip parity:
+            # DmsaOptimizer.h:89-93 aborts BEFORE stepping)
+            p = jnp.where(too_few, params, p)
+            stop = (~improved) | (step_norm < epsilon) | too_few
             return (p, stop, best_err, iters + 1, nc.astype(jnp.int32))
 
         def skip(_):

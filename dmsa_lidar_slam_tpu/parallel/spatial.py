@@ -224,10 +224,16 @@ def _cached_spatial_optimize(
             errs = jax.lax.psum(ce(tabs, packed).astype(pdt), axis)
             errs = errs + jnp.sum(extras.astype(pdt) ** 2, axis=1)
             best = jnp.argmin(errs)
-            improved = (best > 0) & ~nan_step
+            # too-few-gaussians REJECTS this iteration's step, exactly like
+            # the single-chip path (DmsaOptimizer.h:89-93 aborts BEFORE
+            # stepping; dmsa/optimizer.py accept = ~(too_few | ...)) — r5
+            # review caught the distributed paths accepting once and only
+            # stopping afterwards
+            too_few = n_cells < min_num_gaussians
+            improved = (best > 0) & ~nan_step & ~too_few
             new_params = jnp.where(improved, cand[best], params)
             eps_stop = jnp.linalg.norm(step) < epsilon
-            done_now = done | ~improved | eps_stop | (n_cells < min_num_gaussians)
+            done_now = done | ~improved | eps_stop
             params_out = jnp.where(done, params, new_params)
             overflow = jax.lax.psum(
                 sum((o.astype(jnp.int32) for o in ovs), jnp.asarray(0, jnp.int32)), axis

@@ -954,11 +954,24 @@ class FusedDmsaSlam:
                     np.zeros((sh.raw_cap, 5), dtype=np.int16),
                     np.zeros((sh.aux_rows, 6), dtype=np.float32),
                 )
-                for _ in range(4)
+                for _ in range(4 if reuse else 1)
             ]
             if reuse:
                 self._pack_bufs = bufs
-        pack, aux = bufs[self.scan_counter % 4]
+        slot = self.scan_counter % len(bufs)
+        devs = getattr(self, "_pack_devs", None)
+        if devs is None or len(devs) != len(bufs):
+            devs = self._pack_devs = [None] * len(bufs)
+        if devs[slot] is not None:
+            # before overwriting this slot's host buffers, wait until the
+            # device arrays created FROM them are materialized — the async
+            # device_put may still be reading the numpy memory (the ring
+            # alone only bounds reuse by scan count, not by transfer
+            # completion; r5 review).  In steady state the transfer from 4
+            # scans ago is long done and this is free.
+            with self.metrics.stage("buf_wait"):
+                jax.block_until_ready(devs[slot])
+        pack, aux = bufs[slot]
         span = max(scan_t1 - scan_t0, 1e-6)
         qscale = span / 65535.0
         with self.metrics.stage("pack_fill"):
@@ -971,7 +984,13 @@ class FusedDmsaSlam:
                 nan=0.0, posinf=0.0, neginf=0.0,
             )
             np.rint(q, out=q)
-            np.clip(q, -32767, 32767, out=q)
+            # out-of-range points go to the ORIGIN (same drop path as NaN:
+            # the min_dist filter removes them) — clipping to the +-163.8 m
+            # boundary would fabricate finite phantom points at wrong
+            # coordinates for very-long-range returns
+            bad = np.abs(q).max(axis=1) > 32767.0
+            if bad.any():
+                q[bad] = 0.0
             pack[:n, :3] = q
             pack[:n, 3] = (
                 ((stamps[:n] - scan_t0) * (1.0 / qscale)).astype(np.uint16).view(np.int16)
@@ -1015,6 +1034,7 @@ class FusedDmsaSlam:
             # the 4-buffer ring above makes the async transfer safe)
             pack_dev = jax.device_put(pack)
             aux_dev = jax.device_put(aux)
+            devs[slot] = (pack_dev, aux_dev)
         with self.metrics.stage("launch"):
             self.state = self.step(self.state, pack_dev, aux_dev)
         self.received_imu = False

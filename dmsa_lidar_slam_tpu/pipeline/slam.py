@@ -620,11 +620,13 @@ class DmsaSlam:
             if int(overflow):
                 log.warning("spatial shuffle overflow: %d points dropped", int(overflow))
         else:
-            log.warning(
-                "dist_backend='hash' optimizes a coarser submap model than "
-                "single-chip/'spatial': no normal-split cell channel "
-                "(Gaussians.h:27-85 analogue) and owner-election cell drops"
-            )
+            if not getattr(self, "_hash_backend_warned", False):
+                self._hash_backend_warned = True  # once, not per submap event
+                log.warning(
+                    "dist_backend='hash' optimizes a coarser submap model than "
+                    "single-chip/'spatial': no normal-split cell channel "
+                    "(Gaussians.h:27-85 analogue) and owner-election cell drops"
+                )
             opt_fn = keyframe_dist.make_keyframe_dist_optimize(
                 self._dist_kf_mesh,
                 self.map_shapes,

@@ -9,13 +9,21 @@ from dmsa_lidar_slam_tpu.ops import voxel
 from dmsa_lidar_slam_tpu.pipeline import preprocess as pp
 
 
-def test_count_voxels_approx_close(rng):
+def test_count_voxels_ladder_close(rng):
+    """The one-sort ladder counter (what preprocess_scan's grid decision
+    uses) stays within hash-collision distance of the exact counts at
+    every ladder level, with masked points excluded."""
     pts = rng.uniform(-20, 20, size=(5000, 3)).astype(np.float32)
-    mask = np.ones(5000, dtype=bool)
-    for grid in (0.4, 0.2):
+    mask = rng.uniform(size=5000) > 0.1
+    grids = pp.GRID_LADDER
+    counts = np.asarray(
+        voxel.count_voxels_ladder(jnp.asarray(pts), jnp.asarray(mask), grids)
+    )
+    for gi, grid in enumerate(grids):
         exact = int(voxel.count_voxels(jnp.asarray(pts), jnp.asarray(mask), grid))
-        approx = int(voxel.count_voxels_approx(jnp.asarray(pts), jnp.asarray(mask), grid))
-        assert abs(approx - exact) <= max(3, 0.02 * exact), (grid, exact, approx)
+        assert abs(int(counts[gi]) - exact) <= max(3, 0.005 * exact), (
+            grid, exact, int(counts[gi]),
+        )
 
 
 def test_preprocess_grid_choice_and_range(rng):
