@@ -946,31 +946,29 @@ class FusedDmsaSlam:
         # indefinitely (zero-copy), so it keeps fresh allocations.
         import jax as _jax
 
+        # ring size = flush_every (>= 4): between a buffer's use at scan k
+        # and its reuse at scan k + ring, a flush has ALWAYS run (flushes
+        # fire every flush_every scans), and _flush_events blocks on the
+        # device state — which waits for every queued step, hence every
+        # H2D transfer, up to that point.  So reuse never races the async
+        # device_put, with ZERO added synchronization (an explicit
+        # per-scan block_until_ready on the old transfer measured a
+        # tunnel sync round trip per scan).  ~26 MB host RAM at OS-128
+        # shapes with the default flush_every=20.
         reuse = _jax.default_backend() != "cpu"
+        n_bufs = max(4, self.flush_every) if reuse else 1
         bufs = getattr(self, "_pack_bufs", None) if reuse else None
-        if bufs is None or bufs[0][0].shape[0] != sh.raw_cap:
+        if bufs is None or bufs[0][0].shape[0] != sh.raw_cap or len(bufs) != n_bufs:
             bufs = [
                 (
                     np.zeros((sh.raw_cap, 5), dtype=np.int16),
                     np.zeros((sh.aux_rows, 6), dtype=np.float32),
                 )
-                for _ in range(4 if reuse else 1)
+                for _ in range(n_bufs)
             ]
             if reuse:
                 self._pack_bufs = bufs
         slot = self.scan_counter % len(bufs)
-        devs = getattr(self, "_pack_devs", None)
-        if devs is None or len(devs) != len(bufs):
-            devs = self._pack_devs = [None] * len(bufs)
-        if devs[slot] is not None:
-            # before overwriting this slot's host buffers, wait until the
-            # device arrays created FROM them are materialized — the async
-            # device_put may still be reading the numpy memory (the ring
-            # alone only bounds reuse by scan count, not by transfer
-            # completion; r5 review).  In steady state the transfer from 4
-            # scans ago is long done and this is free.
-            with self.metrics.stage("buf_wait"):
-                jax.block_until_ready(devs[slot])
         pack, aux = bufs[slot]
         span = max(scan_t1 - scan_t0, 1e-6)
         qscale = span / 65535.0
@@ -1034,7 +1032,6 @@ class FusedDmsaSlam:
             # the 4-buffer ring above makes the async transfer safe)
             pack_dev = jax.device_put(pack)
             aux_dev = jax.device_put(aux)
-            devs[slot] = (pack_dev, aux_dev)
         with self.metrics.stage("launch"):
             self.state = self.step(self.state, pack_dev, aux_dev)
         self.received_imu = False
