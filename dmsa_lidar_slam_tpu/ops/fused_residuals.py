@@ -562,6 +562,11 @@ def gn_system(tab, dtabs, packed):
     p_dim, dtab, _ = dtabs.shape
     m = packed.shape[1]
     t_tile = 1024 if m % 1024 == 0 else (512 if m % 512 == 0 else 256)
+    # the gathered [7P, T] Jacobian block is the kernel's VMEM pig; shrink
+    # the tile so it stays ~<= 8 MB of the 16 MB scoped budget (P = 594 at
+    # the reference-default 100-keyframe ring would overflow at T = 1024)
+    while t_tile > 256 and 7 * p_dim * t_tile * 4 > 8_400_000:
+        t_tile //= 2
     tabp = prep_tables(tab[None])  # [8, Dpad]
     jtab = prep_jac_tables(dtabs).astype(jnp.bfloat16)  # [7P, Dpad]
     with jax.enable_x64(False):
@@ -823,30 +828,11 @@ def _seg_scan_rev(v, f, interp=True):
     return v, f
 
 
-def _build_kernel(
-    t_tile, n_tiles, min_points, floor, dpad, interp, *refs
-):
-    # refs: inputs ([tab] when dpad, kin), 2 outputs (packed VMEM block,
-    # stats SMEM [1,2] with a constant index map — revisited every step,
-    # so += accumulates), then the endstats + carry scratch
-    import jax.experimental.pallas as pl
+def _build_decode(kin, dpad, t_tile, tab_ref):
+    """Shared input decode for the two build kernels.
 
-    if dpad:
-        tab_ref, kin_ref, out_ref, stats_ref, end_ref, carry_ref = refs
-    else:
-        (kin_ref, out_ref, stats_ref, end_ref, carry_ref) = refs
-
-    p = pl.program_id(0)
-    i = pl.program_id(1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, t_tile), 1)
-
-    @pl.when((p == 0) & (i == 0))
-    def _():
-        carry_ref[:] = jnp.zeros_like(carry_ref)
-        stats_ref[0, 0] = 0.0  # SMEM accepts scalar stores only
-        stats_ref[0, 1] = 0.0
-
-    kin = kin_ref[:]  # [12, T] (classic) or [6, T] (tab path)
+    Returns (xs, w, ring, obs, tidx, newc, is_end, get_pts) — get_pts is
+    only called by the forward kernel (the table gather is real work)."""
     if dpad:
         # compact layout: xs(3), enc, newc, is_end — w/ring/tidx unpacked
         # from enc, world points recomputed from the pose table exactly
@@ -862,7 +848,7 @@ def _build_kernel(
         tidx = (enc_i >> 11).astype(jnp.float32)
         obs = w
 
-        def get_pts():  # called inside phase 0 only — the gather is real work
+        def get_pts():
             rowi = jax.lax.broadcasted_iota(jnp.int32, (dpad, t_tile), 0)
             ohb = (rowi == (enc_i >> 11)).astype(jnp.bfloat16)
             tg = _onehot_gather_f32(tab_ref[:], ohb)  # exact f32 positions
@@ -883,80 +869,122 @@ def _build_kernel(
         def get_pts():
             return kin[0:3]
 
-    @pl.when(p == 0)
-    def _fwd():
-        pts = get_pts()
-        # ring-prev across the tile boundary (carry row 12)
-        rp = _shift_right(ring, 1, interp)
-        rp = jnp.where(col == 0, carry_ref[12:13, 0:1], rp)
-        carry_ref[12:13, 0:1] = ring[:, t_tile - 1 : t_tile]
-        ringdiff = ((newc == 0.0) & (ring != rp)).astype(jnp.float32)
+    return xs, w, ring, obs, tidx, newc, is_end, get_pts
 
-        # scan A: broadcast the run's first member (origin) forward
-        o, cov_o = _seg_scan(newc * pts, newc, interp)
-        o = o + jnp.where(cov_o > 0.0, 0.0, carry_ref[0:3, 0:1])
-        carry_ref[0:3, 0:1] = o[:, t_tile - 1 : t_tile]
 
-        d = (pts - o) * w
-        dx, dy, dz = d[0:1], d[1:2], d[2:3]
-        outer = jnp.concatenate(
-            [dx * dx, dx * dy, dx * dz, dy * dy, dy * dz, dz * dz], axis=0
-        )
-        vals = jnp.concatenate([w, d, outer, ringdiff, obs], axis=0)  # [12, T]
-        pref, cov_b = _seg_scan(vals, newc, interp)
-        pref = pref + jnp.where(cov_b > 0.0, 0.0, carry_ref[0:12, 128:129])
-        carry_ref[0:12, 128:129] = pref[:, t_tile - 1 : t_tile]
+def _build_fwd_kernel(t_tile, min_points, floor, dpad, interp, *refs):
+    """Forward build pass: per-run moments -> end-row cell stats.
 
-        n = pref[0:1]
-        safe_n = jnp.maximum(n, 1.0)
-        mean = pref[1:4] / safe_n
-        mx, my, mz = mean[0:1], mean[1:2], mean[2:3]
-        mouter = jnp.concatenate(
-            [mx * mx, mx * my, mx * mz, my * my, my * mz, mz * mz], axis=0
-        )
-        cov6 = (pref[4:10] - n * mouter) / jnp.maximum(n - 1.0, 1.0)
-        diverse = pref[10:11] > 0.5
-        validf = ((n > 0.5) & (n >= float(min_points)) & diverse).astype(jnp.float32)
-        vend = validf * is_end
+    Emits endstats [10, T] blocks to HBM (NOT a VMEM scratch: a [10, n]
+    scratch hits the 16 MB scoped-VMEM limit at n ~ 400k — the
+    reference-default 100-keyframe ring at 4096 pts/kf) and accumulates
+    the (valid count, raw-weight sum) scalars in SMEM."""
+    import jax.experimental.pallas as pl
 
-        info6 = _floored_inverse6_rows(cov6, floor)
-        raw_w = pref[11:12] / (safe_n * safe_n)
-        lam6u = info6 * (raw_w * validf)
-        mu0 = o + mean
-        invn_end = vend / safe_n
+    if dpad:
+        tab_ref, kin_ref, end_ref, stats_ref, carry_ref = refs
+    else:
+        tab_ref = None
+        kin_ref, end_ref, stats_ref, carry_ref = refs
+    i = pl.program_id(0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, t_tile), 1)
 
-        end_ref[0:6, pl.ds(i * t_tile, t_tile)] = lam6u
-        end_ref[6:9, pl.ds(i * t_tile, t_tile)] = mu0
-        end_ref[9:10, pl.ds(i * t_tile, t_tile)] = invn_end
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+        stats_ref[0, 0] = 0.0  # SMEM accepts scalar stores only
+        stats_ref[0, 1] = 0.0
 
-        stats_ref[0, 0] += jnp.sum(vend)
-        stats_ref[0, 1] += jnp.sum(vend * raw_w)
-        # pass through (overwritten in phase 1; keeps the out buffer defined)
-        out_ref[:] = jnp.zeros_like(out_ref)
+    kin = kin_ref[:]
+    xs, w, ring, obs, tidx, newc, is_end, get_pts = _build_decode(
+        kin, dpad, t_tile, tab_ref
+    )
+    pts = get_pts()
+    # ring-prev across the tile boundary (carry row 12)
+    rp = _shift_right(ring, 1, interp)
+    rp = jnp.where(col == 0, carry_ref[12:13, 0:1], rp)
+    carry_ref[12:13, 0:1] = ring[:, t_tile - 1 : t_tile]
+    ringdiff = ((newc == 0.0) & (ring != rp)).astype(jnp.float32)
 
-    @pl.when(p == 1)
-    def _bwd():
-        @pl.when(i == 0)
-        def _():
-            carry_ref[0:9, 0:1] = jnp.zeros((9, 1), jnp.float32)
+    # scan A: broadcast the run's first member (origin) forward
+    o, cov_o = _seg_scan(newc * pts, newc, interp)
+    o = o + jnp.where(cov_o > 0.0, 0.0, carry_ref[0:3, 0:1])
+    carry_ref[0:3, 0:1] = o[:, t_tile - 1 : t_tile]
 
-        es = end_ref[:, pl.ds((n_tiles - 1 - i) * t_tile, t_tile)]  # [10, T]
-        bvals = es[0:9] * is_end
-        bv, cov_r = _seg_scan_rev(bvals, is_end, interp)
-        bv = bv + jnp.where(cov_r > 0.0, 0.0, carry_ref[0:9, 0:1])
-        carry_ref[0:9, 0:1] = bv[:, 0:1]
+    d = (pts - o) * w
+    dx, dy, dz = d[0:1], d[1:2], d[2:3]
+    outer = jnp.concatenate(
+        [dx * dx, dx * dy, dx * dz, dy * dy, dy * dz, dz * dz], axis=0
+    )
+    vals = jnp.concatenate([w, d, outer, ringdiff, obs], axis=0)  # [12, T]
+    pref, cov_b = _seg_scan(vals, newc, interp)
+    pref = pref + jnp.where(cov_b > 0.0, 0.0, carry_ref[0:12, 128:129])
+    carry_ref[0:12, 128:129] = pref[:, t_tile - 1 : t_tile]
 
-        n_valid = stats_ref[0, 0]
-        sum_raw = stats_ref[0, 1]
-        wnorm = n_valid / jnp.maximum(sum_raw, 1e-30)
+    n = pref[0:1]
+    safe_n = jnp.maximum(n, 1.0)
+    mean = pref[1:4] / safe_n
+    mx, my, mz = mean[0:1], mean[1:2], mean[2:3]
+    mouter = jnp.concatenate(
+        [mx * mx, mx * my, mx * mz, my * my, my * mz, mz * mz], axis=0
+    )
+    cov6 = (pref[4:10] - n * mouter) / jnp.maximum(n - 1.0, 1.0)
+    diverse = pref[10:11] > 0.5
+    validf = ((n > 0.5) & (n >= float(min_points)) & diverse).astype(jnp.float32)
+    vend = validf * is_end
 
-        out_ref[0:3] = xs
-        out_ref[3:6] = bv[6:9]  # mu0 broadcast
-        out_ref[6:12] = bv[0:6] * wnorm  # lamw6, normalized
-        out_ref[12:13] = w
-        out_ref[13:14] = tidx
-        out_ref[14:15] = newc
-        out_ref[15:16] = es[9:10]  # invn at valid end rows
+    info6 = _floored_inverse6_rows(cov6, floor)
+    raw_w = pref[11:12] / (safe_n * safe_n)
+    lam6u = info6 * (raw_w * validf)
+    mu0 = o + mean
+    invn_end = vend / safe_n
+
+    end_ref[0:6] = lam6u
+    end_ref[6:9] = mu0
+    end_ref[9:10] = invn_end
+
+    stats_ref[0, 0] += jnp.sum(vend)
+    stats_ref[0, 1] += jnp.sum(vend * raw_w)
+
+
+def _build_bwd_kernel(t_tile, dpad, interp, *refs):
+    """Backward build pass (tiles visited right-to-left): broadcast the
+    end-row stats to every member, apply the global weight normalization,
+    emit the [16, T] packed block."""
+    import jax.experimental.pallas as pl
+
+    if dpad:
+        tab_ref, kin_ref, end_ref, stats_ref, out_ref, carry_ref = refs
+    else:
+        tab_ref = None
+        kin_ref, end_ref, stats_ref, out_ref, carry_ref = refs
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    kin = kin_ref[:]
+    xs, w, ring, obs, tidx, newc, is_end, _ = _build_decode(
+        kin, dpad, t_tile, tab_ref
+    )
+    es = end_ref[:]  # [10, T]
+    bvals = es[0:9] * is_end
+    bv, cov_r = _seg_scan_rev(bvals, is_end, interp)
+    bv = bv + jnp.where(cov_r > 0.0, 0.0, carry_ref[0:9, 0:1])
+    carry_ref[0:9, 0:1] = bv[:, 0:1]
+
+    n_valid = stats_ref[0, 0]
+    sum_raw = stats_ref[0, 1]
+    wnorm = n_valid / jnp.maximum(sum_raw, 1e-30)
+
+    out_ref[0:3] = xs
+    out_ref[3:6] = bv[6:9]  # mu0 broadcast
+    out_ref[6:12] = bv[0:6] * wnorm  # lamw6, normalized
+    out_ref[12:13] = w
+    out_ref[13:14] = tidx
+    out_ref[14:15] = newc
+    out_ref[15:16] = es[9:10]  # invn at valid end rows
 
 
 @lru_cache(maxsize=None)
@@ -966,42 +994,69 @@ def _build_call(n, t_tile, min_points, floor, dpad=0):
 
     n_tiles = n // t_tile
     interp = _interpret()
-    kern = partial(_build_kernel, t_tile, n_tiles, min_points, floor, dpad, interp)
-
-    def idx(p, i):
-        return (0, jnp.where(p == 0, i, n_tiles - 1 - i))
+    fwd = partial(_build_fwd_kernel, t_tile, min_points, floor, dpad, interp)
+    bwd = partial(_build_bwd_kernel, t_tile, dpad, interp)
 
     kin_rows = 6 if dpad else 12
-    in_specs = [pl.BlockSpec((kin_rows, t_tile), idx, memory_space=pltpu.VMEM)]
-    if dpad:
-        in_specs.insert(
-            0, pl.BlockSpec((8, dpad), lambda p, i: (0, 0), memory_space=pltpu.VMEM)
-        )
+
+    def seq(i):
+        return (0, i)
+
+    def rev(i):
+        return (0, n_tiles - 1 - i)
+
+    tab_spec = (
+        [pl.BlockSpec((8, dpad), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+        if dpad
+        else []
+    )
 
     def call(*ops):
-        packed, stats = pl.pallas_call(
-            kern,
-            grid=(2, n_tiles),
-            in_specs=in_specs,
+        # TWO pallas_calls with the end-row stats staged through HBM: the
+        # old single-call two-phase grid kept endstats as a [10, n] VMEM
+        # scratch, which exceeds the 16 MB scoped-VMEM limit for n beyond
+        # ~390k points (100-keyframe submaps).  The HBM round trip is
+        # 2 x 40 B/point at full bandwidth — noise next to the sort.
+        endstats, stats = pl.pallas_call(
+            fwd,
+            grid=(n_tiles,),
+            in_specs=tab_spec
+            + [pl.BlockSpec((kin_rows, t_tile), seq, memory_space=pltpu.VMEM)],
             out_specs=(
-                pl.BlockSpec((PACK_ROWS, t_tile), idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((10, t_tile), seq, memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((PACK_ROWS, n), jnp.float32),
+                jax.ShapeDtypeStruct((10, n), jnp.float32),
                 jax.ShapeDtypeStruct((1, 2), jnp.float32),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((10, n), jnp.float32),
-                pltpu.VMEM((16, 256), jnp.float32),
-            ],
+            scratch_shapes=[pltpu.VMEM((16, 256), jnp.float32)],
             interpret=interp,
             cost_estimate=pl.CostEstimate(
-                flops=400 * n + (2 * 8 * dpad * n if dpad else 0),
-                bytes_accessed=4 * n * (kin_rows + 16 + 2 * 10),
+                flops=300 * n + (2 * 8 * dpad * n if dpad else 0),
+                bytes_accessed=4 * n * (kin_rows + 10),
                 transcendentals=4 * n,
             ),
         )(*ops)
+        packed = pl.pallas_call(
+            bwd,
+            grid=(n_tiles,),
+            in_specs=tab_spec
+            + [
+                pl.BlockSpec((kin_rows, t_tile), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((10, t_tile), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((PACK_ROWS, t_tile), rev, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((PACK_ROWS, n), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((9, 128), jnp.float32)],
+            interpret=interp,
+            cost_estimate=pl.CostEstimate(
+                flops=100 * n,
+                bytes_accessed=4 * n * (kin_rows + 10 + PACK_ROWS),
+                transcendentals=0,
+            ),
+        )(*(list(ops) + [endstats, stats]))
         return packed, stats
 
     return jax.jit(call)
